@@ -1,0 +1,31 @@
+"""sketch_spark — a PySpark-native distributed sketch / approximate-aggregation library.
+
+Brand-new implementation (NOT a port) with the query capabilities of the
+reference C++ library kodingkoning/sketch (a fork of dnbaker/sketch with
+MPI-distributed sketch building): mergeable HyperLogLog, Bloom filter,
+Count-Min sketch, Count sketch, bottom-k MinHash (KMV), KLL quantile sketch
+and t-digest, expressed as vectorized NumPy kernels driven through Spark's
+Arrow exchange (``mapInArrow`` / ``applyInPandas``) with tree-structured
+distributed merges.
+
+Design contract (see SURVEY.md):
+  * every sketch is a commutative-monoid accumulator: ``update`` (NumPy batch),
+    ``merge`` (associative + commutative), ``estimate``/query, ``to_bytes``/
+    ``from_bytes`` round-trip;
+  * parameters + seeds ride with the serialized state and are checked on merge;
+  * all per-row work happens in NumPy over Arrow batches — no per-row Python.
+"""
+
+from sketch_spark.sketches import (  # noqa: F401
+    BloomFilter,
+    CountMinSketch,
+    CountSketch,
+    HyperLogLog,
+    KLL,
+    BottomKMinHash,
+    TDigest,
+    from_bytes,
+    make_sketch,
+)
+
+__version__ = "0.1.0"

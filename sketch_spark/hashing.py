@@ -1,0 +1,173 @@
+"""Vectorized 64-bit hashing kernels (NumPy, elementwise over uint64 batches).
+
+The reference library funnels every input item through a 64-bit integer hash
+before it touches any sketch ("the actual point of entry ... is a 64-bit
+integer hash function", /root/reference/include/sketch/hll.h:679-680). Its
+default is Thomas Wang's 64-bit mix (public algorithm, see
+https://naml.us/blog/tag/thomas-wang; reference:
+/root/reference/include/sketch/hash.h:34-55), which is a bijection on
+[0, 2^64). We reimplement it as ~10 elementwise NumPy ops per batch — the
+same work the reference does with AVX2 intrinsics (hash.h:67-88), minus the
+hand-written SIMD: NumPy vectorizes it for us.
+
+Seeded hash families (for Bloom / CMS rows) are derived by xoring the key
+with per-row splitmix64-generated seeds before mixing — seeds are part of
+sketch identity and are serialized with the state (reference analog:
+mt19937_64-drawn seed vectors, bf.h:94-111, ccm.h:221-222).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+
+# numpy intentionally warns on uint64 overflow-by-design ops; silence locally.
+_ERRSTATE = {"over": "ignore"}
+
+
+def _u64(x) -> np.ndarray:
+    """View/cast any integer array as uint64 without copying when possible."""
+    a = np.asarray(x)
+    if a.dtype == np.uint64:
+        return a
+    if a.dtype.kind in "iu" and a.dtype.itemsize == 8:
+        return a.view(np.uint64)
+    return a.astype(np.uint64)
+
+
+def wanghash(x) -> np.ndarray:
+    """Thomas Wang 64-bit mix, vectorized. Bijective on uint64.
+
+    Bit-exact with the reference's default hash (hash.h:36-45): verified by
+    tests/test_hashing.py against a scalar Python oracle and hardcoded
+    vectors.
+    """
+    with np.errstate(**_ERRSTATE):
+        key = _u64(x).copy()
+        key = (~key) + (key << _U64(21))
+        key ^= key >> _U64(24)
+        key = (key + (key << _U64(3))) + (key << _U64(8))  # key * 265
+        key ^= key >> _U64(14)
+        key = (key + (key << _U64(2))) + (key << _U64(4))  # key * 21
+        key ^= key >> _U64(28)
+        key = key + (key << _U64(31))
+    return key
+
+
+def wanghash_scalar(key: int) -> int:
+    """Scalar oracle for tests (pure-Python port of the published algorithm)."""
+    M = (1 << 64) - 1
+    key &= M
+    key = ((~key) + (key << 21)) & M
+    key ^= key >> 24
+    key = ((key + (key << 3)) + (key << 8)) & M
+    key ^= key >> 14
+    key = ((key + (key << 2)) + (key << 4)) & M
+    key ^= key >> 28
+    key = (key + (key << 31)) & M
+    return key
+
+
+def murfinhash(x) -> np.ndarray:
+    """MurmurHash3 64-bit finalizer (public; reference hash.h:428-460)."""
+    with np.errstate(**_ERRSTATE):
+        k = _u64(x).copy()
+        k ^= k >> _U64(33)
+        k *= _U64(0xFF51AFD7ED558CCD)
+        k ^= k >> _U64(33)
+        k *= _U64(0xC4CEB9FE1A85EC53)
+        k ^= k >> _U64(33)
+    return k
+
+
+def splitmix64(seed: int, n: int) -> np.ndarray:
+    """Deterministic seed stream (public splitmix64 constants).
+
+    Used to derive per-row / per-hash-function seeds so that a sketch's whole
+    hash family is identified by one integer ``seed`` carried in its header.
+    """
+    with np.errstate(**_ERRSTATE):
+        z = (_U64(seed) + _U64(0x9E3779B97F4A7C15) * np.arange(1, n + 1, dtype=np.uint64))
+        z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+        z ^= z >> _U64(31)
+    return z
+
+
+def seeded_hashes(x, seeds: np.ndarray) -> np.ndarray:
+    """Family of hashes: shape (len(seeds), len(x)) uint64.
+
+    h_i(x) = wanghash(x ^ seed_i). Each member is a bijection composed with a
+    fixed xor mask, so members are pairwise-independent enough for
+    Bloom/CMS-style index derivation (reference seeds subhashes similarly,
+    bf.h:364-381).
+    """
+    xs = _u64(x)
+    with np.errstate(**_ERRSTATE):
+        out = np.empty((len(seeds), xs.shape[0]), dtype=np.uint64)
+        for i, s in enumerate(seeds):
+            out[i] = wanghash(xs ^ _U64(s))
+    return out
+
+
+def clz64(x: np.ndarray) -> np.ndarray:
+    """Count leading zeros of each uint64, vectorized (clz(0) = 64).
+
+    Branch-free binary search — 6 shift/compare rounds. Exact for all inputs
+    (float-exponent tricks are NOT exact near 2^64, so we avoid them).
+    """
+    x = _u64(x).copy()
+    nbits = np.zeros(x.shape, dtype=np.int64)  # position of highest set bit walk
+    for s in (32, 16, 8, 4, 2, 1):
+        y = x >> _U64(s)
+        m = y != 0
+        nbits += np.where(m, s, 0)
+        x = np.where(m, y, x)
+    return (64 - nbits - (x != 0)).astype(np.uint8)
+
+
+def hash_tokens(values, seed: int = 0) -> np.ndarray:
+    """Hash a batch of item ids (any int dtype) to uint64 sketch inputs.
+
+    seed=0 is the identity-xor default (pure WangHash) to match the
+    reference's unseeded `addh` path (hll.h:816-819).
+    """
+    v = _u64(values)
+    if seed:
+        with np.errstate(**_ERRSTATE):
+            v = v ^ _U64(seed)
+    return wanghash(v)
+
+
+def hash_strings(values, seed: int = 0) -> np.ndarray:
+    """Hash a sequence/array of strings to uint64 via a vectorized FNV-1a
+    over the UTF-8 bytes, finalized with WangHash.
+
+    Strings enter the reference through std::hash (hll.h:820-823); we use
+    FNV-1a (public) for cross-platform determinism, computed columnarly on
+    the padded byte matrix so there is no per-row Python in the hot path.
+    """
+    arr = np.asarray(values, dtype=object)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    encoded = np.char.encode(arr.astype(str), "utf-8")
+    b = encoded.astype(np.bytes_)
+    maxlen = b.dtype.itemsize
+    mat = np.frombuffer(b.tobytes(), dtype=np.uint8).reshape(len(b), maxlen)
+    lens = np.char.str_len(b).astype(np.int64)  # byte lengths
+    h = np.full(len(b), 0xCBF29CE484222325, dtype=np.uint64)
+    prime = _U64(0x100000001B3)
+    with np.errstate(**_ERRSTATE):
+        for j in range(maxlen):
+            active = lens > j
+            if not active.any():
+                break
+            col = mat[:, j].astype(np.uint64)
+            hj = (h ^ col) * prime
+            h = np.where(active, hj, h)
+        h ^= lens.view(np.uint64)  # length-suffix so "a\0" != "a"
+    if seed:
+        with np.errstate(**_ERRSTATE):
+            h = h ^ _U64(seed)
+    return wanghash(h)

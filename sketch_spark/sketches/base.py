@@ -1,0 +1,150 @@
+"""Sketch base protocol + self-describing binary serialization.
+
+Every sketch is a commutative monoid:
+    update(batch)   — absorb a NumPy batch of items (uint64 ids or float64s)
+    merge(other)    — associative & commutative; parameter/seed mismatch raises
+    to_bytes()      — self-describing state (header JSON + raw arrays)
+
+The reference serializes sketches as [param header][raw register bytes] to
+gzip files (/root/reference/include/sketch/hll.h:1013-1060) and asserts
+byte-identical round-trips (testsrc/serial_test.cpp:25-39). We do the same
+framing in a language-portable way: magic, version, JSON header (kind +
+params + array manifest), then the raw little-endian array payloads. The
+state travels through Spark as a BinaryType column and through parquet
+checkpoint tables unchanged.
+
+Merging sketches with mismatched parameters or seeds raises ValueError,
+mirroring the reference's PREC_REQ checks (hll.h:935, ccm.h:369-370).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, ClassVar
+
+import numpy as np
+
+_MAGIC = b"SKSP"
+_VERSION = 1
+
+_REGISTRY: dict[str, type["Sketch"]] = {}
+
+
+def register(cls: type["Sketch"]) -> type["Sketch"]:
+    _REGISTRY[cls.kind] = cls
+    return cls
+
+
+class Sketch:
+    """Base class. Subclasses define:
+
+    - ``kind``: registry name (also the serialized type tag)
+    - ``_params()``: dict of constructor params (JSON-serializable)
+    - ``_arrays()``: dict name -> np.ndarray of state payloads
+    - ``_from_state(params, arrays)``: classmethod rebuild
+    - ``update(values)``, ``merge(other)``, and query methods.
+    """
+
+    kind: ClassVar[str] = "?"
+
+    # ---- abstract-ish API -------------------------------------------------
+    def _params(self) -> dict[str, Any]:
+        raise NotImplementedError
+
+    def _arrays(self) -> dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    @classmethod
+    def _from_state(cls, params: dict[str, Any], arrays: dict[str, np.ndarray]) -> "Sketch":
+        raise NotImplementedError
+
+    def update(self, values: np.ndarray) -> "Sketch":
+        raise NotImplementedError
+
+    def merge(self, other: "Sketch") -> "Sketch":
+        """In-place associative merge; returns self for chaining."""
+        raise NotImplementedError
+
+    # ---- shared helpers ---------------------------------------------------
+    def _check_mergeable(self, other: "Sketch") -> None:
+        if type(self) is not type(other):
+            raise ValueError(f"cannot merge {type(self).__name__} with {type(other).__name__}")
+        if self._params() != other._params():
+            raise ValueError(
+                f"{self.kind}: parameter mismatch on merge: {self._params()} != {other._params()}"
+            )
+
+    def copy(self) -> "Sketch":
+        return from_bytes(self.to_bytes())
+
+    # ---- serialization ----------------------------------------------------
+    def to_bytes(self) -> bytes:
+        arrays = self._arrays()
+        manifest = []
+        payloads = []
+        for name, arr in arrays.items():
+            a = np.ascontiguousarray(arr)
+            if a.dtype.byteorder == ">":
+                a = a.astype(a.dtype.newbyteorder("<"))
+            manifest.append({"name": name, "dtype": a.dtype.str, "shape": list(a.shape)})
+            payloads.append(a.tobytes())
+        header = json.dumps(
+            {"kind": self.kind, "params": self._params(), "arrays": manifest},
+            separators=(",", ":"),
+            sort_keys=True,
+        ).encode()
+        out = bytearray()
+        out += _MAGIC
+        out += _VERSION.to_bytes(2, "little")
+        out += len(header).to_bytes(4, "little")
+        out += header
+        for p in payloads:
+            out += p
+        return bytes(out)
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, Sketch) and self.to_bytes() == other.to_bytes()
+
+    def __hash__(self) -> int:  # pragma: no cover
+        return hash(self.to_bytes())
+
+
+def from_bytes(buf: bytes) -> Sketch:
+    """Rebuild any registered sketch from its ``to_bytes()`` frame."""
+    if buf[:4] != _MAGIC:
+        raise ValueError("not a sketch_spark state blob (bad magic)")
+    ver = int.from_bytes(buf[4:6], "little")
+    if ver != _VERSION:
+        raise ValueError(f"unsupported state version {ver}")
+    hlen = int.from_bytes(buf[6:10], "little")
+    header = json.loads(buf[10 : 10 + hlen].decode())
+    cls = _REGISTRY.get(header["kind"])
+    if cls is None:
+        raise ValueError(f"unknown sketch kind {header['kind']!r}")
+    arrays: dict[str, np.ndarray] = {}
+    off = 10 + hlen
+    for m in header["arrays"]:
+        dt = np.dtype(m["dtype"])
+        count = int(np.prod(m["shape"])) if m["shape"] else 1
+        nbytes = dt.itemsize * count
+        arr = np.frombuffer(buf[off : off + nbytes], dtype=dt).reshape(m["shape"]).copy()
+        arrays[m["name"]] = arr
+        off += nbytes
+    return cls._from_state(header["params"], arrays)
+
+
+def make_sketch(kind: str, **params: Any) -> Sketch:
+    """Factory: make_sketch('hll', p=14) etc."""
+    cls = _REGISTRY.get(kind)
+    if cls is None:
+        raise ValueError(f"unknown sketch kind {kind!r}; have {sorted(_REGISTRY)}")
+    return cls(**params)
+
+
+def merge_all(sketches) -> Sketch:
+    """Left fold of ``merge`` — associativity makes any fold order equivalent."""
+    it = iter(sketches)
+    acc = next(it).copy()
+    for s in it:
+        acc.merge(s)
+    return acc

@@ -1,0 +1,138 @@
+"""Bloom filter over a uint64 bit-word array — vectorized NumPy kernel.
+
+Semantics mirror the reference `bfbase_t` (/root/reference/include/sketch/
+bf.h:40-745): m = 2^l2sz bits held in uint64 words, nh seeded subhashes per
+element (bf.h:364-381 derives several index fields per hash word; we derive
+one index per seeded WangHash — same guarantee, simpler layout), merge =
+bitwise OR (bf.h:486-511), plus the popcount-based estimates:
+
+  * false-positive-rate estimate (popcount/m)^nh  (bf.h:199-202)
+  * cardinality from fill ratio  -m/nh * log1p(-popcount/m)  (bf.h:73-76)
+  * set algebra |, &, ^ and Jaccard/union/intersection size estimates via
+    popcounts of combined filters (bf.h:232-361, 435-520)
+
+optimal nh for a target n: ln2 * m / n (bf.h:15-20).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import numpy as np
+
+from sketch_spark.hashing import seeded_hashes, splitmix64
+from sketch_spark.sketches.base import Sketch, register
+
+_U64 = np.uint64
+
+
+def _popcount(words: np.ndarray) -> int:
+    """Total set bits (numpy<2 has no bitwise_count; unpackbits on the byte
+    view is a single vectorized pass)."""
+    return int(np.unpackbits(words.view(np.uint8)).sum())
+
+
+def optimal_nhashes(m_bits: int, n_items: int) -> int:
+    return max(1, round(math.log(2) * m_bits / max(n_items, 1)))
+
+
+@register
+class BloomFilter(Sketch):
+    kind = "bloom"
+
+    def __init__(self, l2sz: int = 20, nh: int = 4, seed: int = 1337):
+        if not 6 <= l2sz <= 36:
+            raise ValueError("l2sz must be in [6, 36]")
+        self.l2sz = int(l2sz)
+        self.nh = int(nh)
+        self.seed = int(seed)
+        self.m = 1 << l2sz
+        self.words = np.zeros(self.m >> 6, dtype=np.uint64)
+        self._seeds = splitmix64(self.seed, self.nh)
+
+    # -- monoid ops ----------------------------------------------------------
+    def _indices(self, values: np.ndarray) -> np.ndarray:
+        """(nh, n) bit indices in [0, m)."""
+        hs = seeded_hashes(np.asarray(values), self._seeds)
+        return (hs & _U64(self.m - 1)).astype(np.int64)
+
+    def update(self, values: np.ndarray) -> "BloomFilter":
+        if len(values) == 0:
+            return self
+        idx = self._indices(values).ravel()
+        word, bit = idx >> 6, idx & 63
+        np.bitwise_or.at(self.words, word, _U64(1) << bit.astype(np.uint64))
+        return self
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        self._check_mergeable(other)
+        np.bitwise_or(self.words, other.words, out=self.words)
+        return self
+
+    # -- queries ---------------------------------------------------------------
+    def may_contain(self, values: np.ndarray) -> np.ndarray:
+        """Boolean array: False = definitely absent (no false negatives)."""
+        if len(values) == 0:
+            return np.zeros(0, dtype=bool)
+        idx = self._indices(values)  # (nh, n)
+        word, bit = idx >> 6, idx & 63
+        bits = (self.words[word] >> bit.astype(np.uint64)) & _U64(1)
+        return bits.all(axis=0).astype(bool)
+
+    def popcount(self) -> int:
+        return _popcount(self.words)
+
+    def est_fpr(self) -> float:
+        """(popcount/m)^nh (reference bf.h:199-202)."""
+        return (self.popcount() / self.m) ** self.nh
+
+    def cardinality_estimate(self) -> float:
+        """-m/nh * ln(1 - fill) (reference bf.h:73-76)."""
+        fill = self.popcount() / self.m
+        if fill >= 1.0:
+            return math.inf
+        return -(self.m / self.nh) * math.log1p(-fill)
+
+    @staticmethod
+    def _card_from_popcount(pc: int, m: int, nh: int) -> float:
+        fill = pc / m
+        if fill >= 1.0:
+            return math.inf
+        return -(m / nh) * math.log1p(-fill)
+
+    def union_size(self, other: "BloomFilter") -> float:
+        self._check_mergeable(other)
+        pc = _popcount(self.words | other.words)
+        return self._card_from_popcount(pc, self.m, self.nh)
+
+    def intersection_size(self, other: "BloomFilter") -> float:
+        """Inclusion-exclusion on fill-ratio cardinalities (bf.h:232-361)."""
+        return max(
+            0.0,
+            self.cardinality_estimate()
+            + other.cardinality_estimate()
+            - self.union_size(other),
+        )
+
+    def jaccard_index(self, other: "BloomFilter") -> float:
+        u = self.union_size(other)
+        if u <= 0.0:
+            return 0.0
+        return max(0.0, min(1.0, self.intersection_size(other) / u))
+
+    # -- state -------------------------------------------------------------------
+    def _params(self) -> dict[str, Any]:
+        return {"l2sz": self.l2sz, "nh": self.nh, "seed": self.seed}
+
+    def _arrays(self) -> dict[str, np.ndarray]:
+        return {"words": self.words}
+
+    @classmethod
+    def _from_state(cls, params, arrays) -> "BloomFilter":
+        obj = cls(**params)
+        obj.words = arrays["words"].astype(np.uint64)
+        return obj
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"BloomFilter(l2sz={self.l2sz}, nh={self.nh}, fill={self.popcount()/self.m:.4f})"

@@ -1,0 +1,176 @@
+"""Count-Min sketch and Count sketch — vectorized NumPy kernels.
+
+Count-Min mirrors the reference `ccmbase_t` (/root/reference/include/sketch/
+ccm.h:153-376): nh rows × w = 2^l2sz counters, seeded row hashes, point query
+= min over rows (ccm.h:342-349), merge = elementwise add (ccm.h:368-375 with
+the Increment policy, update.h:30-33). The reference's *conservative update*
+variant (ccm.h:290-338) is order-dependent and therefore NOT distributable —
+we ship the standard (mergeable) update, matching the reference's own
+``conservative_update=false`` template flag (documented divergence,
+SURVEY.md §2.1 #3).
+
+Count sketch mirrors `csbase_t` (ccm.h:378-555): a sign bit drawn from the
+row hash makes the estimate unbiased; point query = median over rows
+(ccm.h:496-509); merge = elementwise add (ccm.h:510-527); ``fold`` halves the
+width by modular re-add (ccm.h:545-554) so sketches of unequal width can be
+aligned before merge.
+
+Published bounds: CMS overestimates by ≤ ε·N with prob ≥ 1−δ where
+ε = e/w, δ = e^-nh (Cormode & Muthukrishnan 2005).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import numpy as np
+
+from sketch_spark.hashing import seeded_hashes, splitmix64
+from sketch_spark.sketches.base import Sketch, register
+
+_U64 = np.uint64
+
+
+class _TableSketch(Sketch):
+    """Shared layout: (nh, 2^l2sz) counter matrix + seeded row hashes."""
+
+    dtype = np.int64
+
+    def __init__(self, l2sz: int = 16, nh: int = 4, seed: int = 137):
+        if not 4 <= l2sz <= 30:
+            raise ValueError("l2sz must be in [4, 30]")
+        self.l2sz = int(l2sz)
+        self.nh = int(nh)
+        self.seed = int(seed)
+        self.w = 1 << l2sz
+        self.table = np.zeros((self.nh, self.w), dtype=self.dtype)
+        self._seeds = splitmix64(self.seed, self.nh)
+
+    def _row_hashes(self, values: np.ndarray) -> np.ndarray:
+        return seeded_hashes(np.asarray(values), self._seeds)  # (nh, n)
+
+    def _params(self) -> dict[str, Any]:
+        return {"l2sz": self.l2sz, "nh": self.nh, "seed": self.seed}
+
+    def _arrays(self) -> dict[str, np.ndarray]:
+        return {"table": self.table}
+
+    @classmethod
+    def _from_state(cls, params, arrays):
+        obj = cls(**params)
+        obj.table = arrays["table"].astype(cls.dtype)
+        return obj
+
+    def merge(self, other):
+        self._check_mergeable(other)
+        self.table += other.table
+        return self
+
+
+@register
+class CountMinSketch(_TableSketch):
+    kind = "cms"
+
+    def epsilon(self) -> float:
+        """Overestimate bound factor: ε = e / w."""
+        return math.e / self.w
+
+    def delta(self) -> float:
+        """Failure probability: δ = e^-nh."""
+        return math.exp(-self.nh)
+
+    def update(self, values: np.ndarray, counts: np.ndarray | None = None) -> "CountMinSketch":
+        """Absorb a batch; optional per-item counts (weighted update)."""
+        if len(values) == 0:
+            return self
+        hs = self._row_hashes(values)
+        idx = (hs & _U64(self.w - 1)).astype(np.int64)
+        if counts is None:
+            for i in range(self.nh):
+                # bincount = one vectorized pass per row (beats np.add.at)
+                self.table[i] += np.bincount(idx[i], minlength=self.w).astype(self.dtype)
+        else:
+            c = np.asarray(counts, dtype=np.float64)
+            for i in range(self.nh):
+                self.table[i] += np.bincount(idx[i], weights=c, minlength=self.w).astype(self.dtype)
+        return self
+
+    def query(self, values: np.ndarray) -> np.ndarray:
+        """Point-frequency estimates: min over rows (ccm.h:342-349)."""
+        if len(values) == 0:
+            return np.zeros(0, dtype=np.int64)
+        hs = self._row_hashes(values)
+        idx = (hs & _U64(self.w - 1)).astype(np.int64)
+        cells = self.table[np.arange(self.nh)[:, None], idx]  # (nh, n)
+        return cells.min(axis=0)
+
+    def total(self) -> int:
+        """N = stream length (any row sums to it under Increment updates)."""
+        return int(self.table[0].sum())
+
+    def l2est(self) -> float:
+        """L2-norm estimate = median of row norms (ccm.h:186-188, 19-54)."""
+        return float(np.median(np.sqrt((self.table.astype(np.float64) ** 2).sum(axis=1))))
+
+    def elementwise_min(self, other: "CountMinSketch") -> "CountMinSketch":
+        """`&=` analog: elementwise min (ccm.h:360-367) — upper-bounds the
+        intersection multiset."""
+        self._check_mergeable(other)
+        np.minimum(self.table, other.table, out=self.table)
+        return self
+
+
+@register
+class CountSketch(_TableSketch):
+    kind = "countsketch"
+
+    def _idx_sign(self, values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        hs = self._row_hashes(values)
+        idx = (hs & _U64(self.w - 1)).astype(np.int64)
+        # sign from a high hash bit, disjoint from index bits (ccm.h:471-495
+        # draws it from the hash beyond the index mask)
+        sign = (((hs >> _U64(63)) & _U64(1)).astype(np.int64) << 1) - 1  # ±1
+        return idx, sign
+
+    def update(self, values: np.ndarray, counts: np.ndarray | None = None) -> "CountSketch":
+        if len(values) == 0:
+            return self
+        idx, sign = self._idx_sign(values)
+        w = sign.astype(np.float64)
+        if counts is not None:
+            w = w * np.asarray(counts, dtype=np.float64)[None, :]
+        for i in range(self.nh):
+            self.table[i] += np.bincount(idx[i], weights=w[i], minlength=self.w).astype(self.dtype)
+        return self
+
+    def remove(self, values: np.ndarray, counts: np.ndarray | None = None) -> "CountSketch":
+        """Deletion support (linear sketch; reference `-` ccm.h:533-543)."""
+        c = np.ones(len(values)) if counts is None else np.asarray(counts)
+        return self.update(values, -c)
+
+    def query(self, values: np.ndarray) -> np.ndarray:
+        """Unbiased point estimates: median over rows (ccm.h:496-509)."""
+        if len(values) == 0:
+            return np.zeros(0, dtype=np.int64)
+        idx, sign = self._idx_sign(values)
+        cells = self.table[np.arange(self.nh)[:, None], idx] * sign
+        return np.median(cells, axis=0).astype(np.int64)
+
+    def subtract(self, other: "CountSketch") -> "CountSketch":
+        self._check_mergeable(other)
+        self.table -= other.table
+        return self
+
+    def fold(self, factor_log2: int = 1) -> "CountSketch":
+        """Halve width `factor_log2` times by modular re-add (ccm.h:545-554).
+
+        The row hash index mod the new width equals the old index mod new
+        width (power-of-two mask), so folded sketches stay query-consistent.
+        """
+        new_l2 = self.l2sz - factor_log2
+        if new_l2 < 4:
+            raise ValueError("fold would shrink below minimum width")
+        out = CountSketch(l2sz=new_l2, nh=self.nh, seed=self.seed)
+        out.table = self.table.reshape(self.nh, 1 << factor_log2, 1 << new_l2).sum(axis=1)
+        return out

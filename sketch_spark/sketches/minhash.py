@@ -1,0 +1,206 @@
+"""Bottom-k MinHash (KMV) — vectorized NumPy kernel.
+
+Mirrors the reference `RangeMinHash` (/root/reference/include/sketch/
+mh.h:108-257): keep the k smallest *distinct* hashed values of the set.
+
+  * update: hash batch, keep bottom-k of (state ∪ batch)  (mh.h:184-192)
+  * merge:  set-union then trim to k                      (mh.h:146-151)
+  * cardinality: KMV estimate from the k-th minimum       (mh.h:130-132,
+    339-343: est = k · 2^64 / kth_min — we use the same formula as the
+    reference for parity; the (k-1)-variant is noted in the docstring)
+  * jaccard(other): |X∩Y| / (2k − |X∩Y|) over the two k-sets (mh.h:292-295)
+  * union_size(a, b): cardinality of bottom-k(A ∪ B)      (mh.h:320-338)
+  * intersection_size: sorted-walk count (isz.h:7-31) — here np.intersect1d
+
+Merge associativity identity (reference testsrc/testmhmerge.cpp:28-40):
+``a.union_size(b) == merge(a, b).cardinality_estimate()`` — property-tested.
+
+Also `CountingBottomKMinHash` (reference `CountingRangeMinHash`
+mh.h:457-708): bottom-k with per-value counts for weighted (multiset)
+similarity — histogram_intersection = Σmin/Σmax over matched values
+(mh.h:538-568).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from sketch_spark.hashing import hash_tokens
+from sketch_spark.sketches.base import Sketch, register
+
+_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+@register
+class BottomKMinHash(Sketch):
+    kind = "minhash"
+
+    def __init__(self, k: int = 1024, seed: int = 0):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = int(k)
+        self.seed = int(seed)
+        self.values = np.empty(0, dtype=np.uint64)  # sorted ascending, distinct
+
+    # -- monoid ops ----------------------------------------------------------
+    def update(self, values: np.ndarray) -> "BottomKMinHash":
+        if len(values) == 0:
+            return self
+        return self.update_hashed(hash_tokens(values, self.seed))
+
+    def update_hashed(self, hashed: np.ndarray) -> "BottomKMinHash":
+        if len(hashed) == 0:
+            return self
+        cand = np.asarray(hashed, dtype=np.uint64)
+        if len(self.values) == self.k:
+            # prune: only candidates below the current k-th minimum can enter
+            # (the reference computes-but-disables this threshold,
+            # calcThreshold.cpp:37-69 / mpiParallelIO.cpp:40-41; it is pure
+            # win here)
+            cand = cand[cand < self.values[-1]]
+            if len(cand) == 0:
+                return self
+        merged = np.union1d(self.values, cand)  # sorted distinct
+        self.values = merged[: self.k]
+        return self
+
+    def merge(self, other: "BottomKMinHash") -> "BottomKMinHash":
+        self._check_mergeable(other)
+        merged = np.union1d(self.values, other.values)
+        self.values = merged[: self.k]
+        return self
+
+    # -- queries -------------------------------------------------------------
+    def cardinality_estimate(self) -> float:
+        """KMV estimate. Matches the reference formula est = k · 2^64 /
+        kth_min (mh.h:130-132). (The textbook unbiased KMV uses k-1; at
+        k ≥ 256 the difference is < 0.4% — we keep reference parity.)"""
+        n = len(self.values)
+        if n == 0:
+            return 0.0
+        if n < self.k:
+            return float(n)  # saw fewer distinct values than k: exact
+        kth = float(self.values[self.k - 1])
+        if kth == 0.0:
+            return float(n)
+        return self.k * (2.0**64) / kth
+
+    def jaccard_index(self, other: "BottomKMinHash") -> float:
+        """|X∩Y| / (2k − |X∩Y|) over the two bottom-k sets (mh.h:292-295).
+        For partially-filled sketches (|set| < k) this degenerates to the
+        exact Jaccard of the underlying sets."""
+        self._check_mergeable(other)
+        isz = len(np.intersect1d(self.values, other.values, assume_unique=True))
+        if len(self.values) < self.k or len(other.values) < self.k:
+            usz = len(np.union1d(self.values, other.values))
+            return isz / usz if usz else 0.0
+        denom = 2 * self.k - isz
+        return isz / denom if denom else 0.0
+
+    def union_size(self, other: "BottomKMinHash") -> float:
+        """Cardinality estimate of A ∪ B from bottom-k of the merged stream
+        (mh.h:320-338)."""
+        return self.copy().merge(other).cardinality_estimate()
+
+    def intersection_size(self, other: "BottomKMinHash") -> float:
+        u = self.union_size(other)
+        return self.jaccard_index(other) * u
+
+    def containment_index(self, other: "BottomKMinHash") -> float:
+        a = self.cardinality_estimate()
+        if a <= 0:
+            return 0.0
+        return min(1.0, self.intersection_size(other) / a)
+
+    # -- state ---------------------------------------------------------------
+    def _params(self) -> dict[str, Any]:
+        return {"k": self.k, "seed": self.seed}
+
+    def _arrays(self) -> dict[str, np.ndarray]:
+        return {"values": self.values}
+
+    @classmethod
+    def _from_state(cls, params, arrays) -> "BottomKMinHash":
+        obj = cls(**params)
+        obj.values = arrays["values"].astype(np.uint64)
+        return obj
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"BottomKMinHash(k={self.k}, filled={len(self.values)})"
+
+
+@register
+class CountingBottomKMinHash(Sketch):
+    """Bottom-k with per-value multiplicities (reference CountingRangeMinHash
+    mh.h:457-708): supports weighted/histogram similarity over multisets."""
+
+    kind = "counting_minhash"
+
+    def __init__(self, k: int = 1024, seed: int = 0):
+        self.k = int(k)
+        self.seed = int(seed)
+        self.values = np.empty(0, dtype=np.uint64)
+        self.counts = np.empty(0, dtype=np.int64)
+
+    def update(self, values: np.ndarray, counts: np.ndarray | None = None) -> "CountingBottomKMinHash":
+        if len(values) == 0:
+            return self
+        hashed = hash_tokens(values, self.seed)
+        c = np.ones(len(hashed), dtype=np.int64) if counts is None else np.asarray(counts, dtype=np.int64)
+        # aggregate duplicate hashes within the batch
+        uniq, inv = np.unique(hashed, return_inverse=True)
+        csum = np.bincount(inv, weights=c).astype(np.int64)
+        return self._absorb(uniq, csum)
+
+    def _absorb(self, uniq: np.ndarray, csum: np.ndarray) -> "CountingBottomKMinHash":
+        allv = np.concatenate([self.values, uniq])
+        allc = np.concatenate([self.counts, csum])
+        order = np.argsort(allv, kind="stable")
+        allv, allc = allv[order], allc[order]
+        # sum counts of equal values (mh.h:506-517 increments on re-insert)
+        newv, start = np.unique(allv, return_index=True)
+        newc = np.add.reduceat(allc, start)
+        self.values = newv[: self.k]
+        self.counts = newc[: self.k]
+        return self
+
+    def merge(self, other: "CountingBottomKMinHash") -> "CountingBottomKMinHash":
+        self._check_mergeable(other)
+        return self._absorb(other.values, other.counts)
+
+    def histogram_intersection(self, other: "CountingBottomKMinHash") -> float:
+        """Σ min(c_a, c_b) / Σ max(c_a, c_b) over the union of the two k-sets
+        (mh.h:538-568)."""
+        self._check_mergeable(other)
+        common, ia, ib = np.intersect1d(
+            self.values, other.values, assume_unique=True, return_indices=True
+        )
+        ca, cb = self.counts[ia], other.counts[ib]
+        s_min = np.minimum(ca, cb).sum()
+        s_max = np.maximum(ca, cb).sum()
+        only_a = self.counts.sum() - ca.sum()
+        only_b = other.counts.sum() - cb.sum()
+        denom = float(s_max + only_a + only_b)
+        return float(s_min) / denom if denom else 0.0
+
+    def cardinality_estimate(self) -> float:
+        n = len(self.values)
+        if n < self.k:
+            return float(n)
+        kth = float(self.values[self.k - 1])
+        return self.k * (2.0**64) / kth if kth else float(n)
+
+    def _params(self) -> dict[str, Any]:
+        return {"k": self.k, "seed": self.seed}
+
+    def _arrays(self) -> dict[str, np.ndarray]:
+        return {"values": self.values, "counts": self.counts}
+
+    @classmethod
+    def _from_state(cls, params, arrays) -> "CountingBottomKMinHash":
+        obj = cls(**params)
+        obj.values = arrays["values"].astype(np.uint64)
+        obj.counts = arrays["counts"].astype(np.int64)
+        return obj

@@ -1,0 +1,11 @@
+from sketch_spark.spark.agg import (  # noqa: F401
+    SketchSpec,
+    build_sketches,
+    estimate_udf,
+    merge_states_expr,
+    partition_states,
+    quantile_udf,
+    sketch_by_key,
+    tree_merge_states,
+)
+from sketch_spark.spark.session import get_spark  # noqa: F401

@@ -1,0 +1,281 @@
+"""Distributed sketch aggregation over Spark DataFrames.
+
+The execution shape is the Spark-native restatement of the reference's
+MPI job (/root/reference/include/sketch/mpiParallelIO.cpp):
+
+    reference                         here
+    ---------                         ----
+    MPI_File_read_at per rank      →  parquet scan, Spark plans the splits
+    sketchKmers → local sketch     →  mapInArrow: per-partition NumPy update
+    MPI_Gather to rank 0 + re-add  →  log-depth keyed tree merge (the
+      (flat gather :257-299;          reference's own binomial tree is
+       buggy tree :301-345)           "buggy, so should not be used" :83-84 —
+                                      Spark's shuffle machinery does it right)
+    rank-0 estimate                →  driver-side estimate on merged state
+
+Everything per-row is NumPy over Arrow batches — no per-row Python
+(north-rule requirement). The partial-aggregate output is one tiny row per
+(partition × spec): (name, state BinaryType, n_rows, n_values, wall_ms), so
+the shuffle that follows moves kilobytes per partition regardless of input
+size. At 100 TB the scan dominates, which is exactly the profile you want.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Any, Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+from sketch_spark.hashing import hash_strings
+from sketch_spark.sketches.base import Sketch, from_bytes, make_sketch
+
+_STATE_SCHEMA = "name string, state binary, n_rows long, n_values long, wall_ms double"
+
+
+@dataclass
+class SketchSpec:
+    """One sketch to build: over which column, with which parameters.
+
+    ``col`` may be a scalar numeric column, a string column (identified by a
+    deterministic 64-bit pre-hash), or an array<int> token column (flattened
+    zero-copy from the Arrow ListArray). Quantile sketches (kll / tdigest)
+    interpret values as float64; id sketches (hll / bloom / cms /
+    countsketch / minhash / counting_minhash) interpret them as uint64 ids.
+    """
+
+    name: str
+    kind: str
+    col: str
+    params: dict[str, Any] = field(default_factory=dict)
+
+    def new(self) -> Sketch:
+        return make_sketch(self.kind, **self.params)
+
+    @property
+    def is_quantile(self) -> bool:
+        return self.kind in ("kll", "tdigest")
+
+
+def _extract_column(batch: pa.RecordBatch, col: str, want_float: bool) -> np.ndarray:
+    """Flatten one Arrow column to a contiguous NumPy batch (vectorized).
+
+    array<int*> → flattened element values; string → FNV64+WangHash ids;
+    numeric → direct (cast to float64 for quantile sketches, uint64 ids
+    otherwise).
+    """
+    arr = batch.column(batch.schema.get_field_index(col))
+    if isinstance(arr, pa.ChunkedArray):  # pragma: no cover - RecordBatch cols are flat
+        arr = arr.combine_chunks()
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        flat = arr.flatten()
+        vals = flat.to_numpy(zero_copy_only=False)
+    elif pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return hash_strings(arr.to_numpy(zero_copy_only=False))
+    else:
+        vals = arr.to_numpy(zero_copy_only=False)
+    if want_float:
+        return np.asarray(vals, dtype=np.float64)
+    v = np.asarray(vals)
+    if v.dtype.kind == "f":
+        v = v.astype(np.int64)
+    return v
+
+
+def partition_states(df: DataFrame, specs: list[SketchSpec]) -> DataFrame:
+    """Partial aggregation: one serialized sketch state per (partition, spec).
+
+    Also emits per-partition lineage/throughput metrics (rows, values,
+    wall ms) — the Spark analog of the reference's per-phase timers
+    (mpiParallelIO.cpp:91-99).
+    """
+    spec_list = [(s.name, s.kind, s.col, dict(s.params), s.is_quantile) for s in specs]
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        t0 = time.perf_counter()
+        sketches = {name: make_sketch(kind, **params) for name, kind, _, params, _ in spec_list}
+        n_rows = 0
+        n_values = {name: 0 for name, *_ in spec_list}
+        for batch in batches:
+            n_rows += batch.num_rows
+            for name, _, col, _, want_float in spec_list:
+                vals = _extract_column(batch, col, want_float)
+                n_values[name] += len(vals)
+                sketches[name].update(vals)
+        wall_ms = (time.perf_counter() - t0) * 1e3
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([name for name, *_ in spec_list], pa.string()),
+                pa.array([sketches[name].to_bytes() for name, *_ in spec_list], pa.binary()),
+                pa.array([n_rows] * len(spec_list), pa.int64()),
+                pa.array([n_values[name] for name, *_ in spec_list], pa.int64()),
+                pa.array([wall_ms] * len(spec_list), pa.float64()),
+            ],
+            names=["name", "state", "n_rows", "n_values", "wall_ms"],
+        )
+
+    cols = sorted({s.col for s in specs})
+    return df.select(*cols).mapInArrow(build, _STATE_SCHEMA)
+
+
+def _merge_bytes(a: bytes, b: bytes) -> bytes:
+    sa = from_bytes(bytes(a))
+    sa.merge(from_bytes(bytes(b)))
+    return sa.to_bytes()
+
+
+def tree_merge_states(states: DataFrame, fanout: int = 16) -> dict[str, Sketch]:
+    """Log-depth keyed tree merge of serialized states → driver dict.
+
+    Each round shrinks the partition count by ``fanout`` with a keyed
+    reduceByKey (map-side combine merges all co-located states first), so no
+    single task ever holds more than ~fanout states: the correct version of
+    the reference's disabled binomial-tree reduction
+    (mpiParallelIO.cpp:301-345).
+    """
+    rdd = states.select("name", "state").rdd.map(lambda r: (r[0], bytes(r[1])))
+    nparts = max(1, rdd.getNumPartitions())
+    while nparts > 1:
+        nparts = max(1, nparts // fanout)
+        rdd = rdd.reduceByKey(_merge_bytes, numPartitions=nparts)
+    merged = rdd.reduceByKey(_merge_bytes, numPartitions=1).collect()
+    return {name: from_bytes(state) for name, state in merged}
+
+
+def build_sketches(df: DataFrame, specs: list[SketchSpec], fanout: int = 16) -> dict[str, Sketch]:
+    """scan → per-partition partial sketches → tree merge → {name: Sketch}."""
+    return tree_merge_states(partition_states(df, specs), fanout=fanout)
+
+
+def sketch_by_key(df: DataFrame, key: str, specs: list[SketchSpec]) -> DataFrame:
+    """Grouped sketches, two-phase (scales to high-cardinality keys).
+
+    Phase 1 (map side): within each partition, group Arrow batches by key in
+    NumPy and update one sketch per (key, spec) — the partial aggregate.
+    Phase 2 (one shuffle of tiny states): groupBy(key, name) + applyInPandas
+    merge. The shuffle moves |keys|×|specs| states per partition, never raw
+    rows — map-side combine done manually since Spark has no Python UDAF
+    with partial aggregation.
+    """
+    spec_list = [(s.name, s.kind, s.col, dict(s.params), s.is_quantile) for s in specs]
+
+    def partial(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc: dict[tuple[str, str], Sketch] = {}
+        for batch in batches:
+            keys = np.asarray(batch.column(batch.schema.get_field_index(key)).to_numpy(zero_copy_only=False)).astype(str)
+            uniq, inv = np.unique(keys, return_inverse=True)
+            for name, kind, col, params, want_float in spec_list:
+                arr = batch.column(batch.schema.get_field_index(col))
+                is_list = pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+                vals = _extract_column(batch, col, want_float)
+                if is_list:
+                    # repeat each row's group id over its token count
+                    lens = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+                    vinv = np.repeat(inv, lens)
+                else:
+                    vinv = inv
+                order = np.argsort(vinv, kind="stable")
+                sv, so = vals[order], vinv[order]
+                bounds = np.searchsorted(so, np.arange(len(uniq) + 1))
+                for gi, kval in enumerate(uniq):
+                    seg = sv[bounds[gi] : bounds[gi + 1]]
+                    if len(seg) == 0:
+                        continue
+                    sk = acc.get((kval, name))
+                    if sk is None:
+                        sk = acc[(kval, name)] = make_sketch(kind, **params)
+                    sk.update(seg)
+        if acc:
+            items = sorted(acc.items())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([k for (k, _), _ in items], pa.string()),
+                    pa.array([n for (_, n), _ in items], pa.string()),
+                    pa.array([s.to_bytes() for _, s in items], pa.binary()),
+                ],
+                names=[key, "name", "state"],
+            )
+
+    cols = sorted({s.col for s in specs} | {key})
+    partials = df.select(*cols).mapInArrow(partial, f"{key} string, name string, state binary")
+
+    def final_merge(pdf):
+        import pandas as pd
+
+        sk = from_bytes(bytes(pdf["state"].iloc[0]))
+        for blob in pdf["state"].iloc[1:]:
+            sk.merge(from_bytes(bytes(blob)))
+        return pd.DataFrame(
+            {key: [pdf[key].iloc[0]], "name": [pdf["name"].iloc[0]], "state": [sk.to_bytes()]}
+        )
+
+    return partials.groupBy(key, "name").applyInPandas(
+        final_merge, f"{key} string, name string, state binary"
+    )
+
+
+# ---- state-query column functions (drive estimates inside DataFrames) -------
+
+
+def estimate_udf():
+    """pandas UDF: BinaryType sketch state → double estimate.
+
+    Works for any state kind with a scalar summary: hll/minhash →
+    cardinality, bloom → fill-ratio cardinality, cms → total count.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _est(states: pd.Series) -> pd.Series:
+        out = []
+        for blob in states:
+            sk = from_bytes(bytes(blob))
+            if hasattr(sk, "estimate"):
+                out.append(sk.estimate())
+            elif hasattr(sk, "cardinality_estimate"):
+                out.append(sk.cardinality_estimate())
+            elif hasattr(sk, "total"):
+                out.append(float(sk.total()))
+            else:
+                out.append(float("nan"))
+        return pd.Series(out)
+
+    return _est
+
+
+def quantile_udf(qs: list[float]):
+    """pandas UDF: quantile-sketch state → array<double> at the given qs."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _q(states: pd.Series) -> pd.Series:
+        return pd.Series(
+            [list(np.atleast_1d(from_bytes(bytes(b)).quantile(np.array(qs)))) for b in states]
+        )
+
+    return _q
+
+
+def merge_states_expr(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """groupBy(group_cols, name) reduce-merge of a states DataFrame."""
+
+    def m(pdf):
+        import pandas as pd
+
+        sk = from_bytes(bytes(pdf["state"].iloc[0]))
+        for blob in pdf["state"].iloc[1:]:
+            sk.merge(from_bytes(bytes(blob)))
+        row = {c: [pdf[c].iloc[0]] for c in group_cols}
+        row["name"] = [pdf["name"].iloc[0]]
+        row["state"] = [sk.to_bytes()]
+        return pd.DataFrame(row)
+
+    schema = ", ".join([f"{c} string" for c in group_cols] + ["name string", "state binary"])
+    return df.groupBy(*group_cols, "name").applyInPandas(m, schema)

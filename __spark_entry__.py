@@ -1,38 +1,408 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs a sketch_spark operator at sf_dir and returns a
+DataFrame whose values are either (a) exact results computed identically by
+the DuckDB ``oracle_sql()`` twin, or (b) honest bound-checks: the Spark side
+computes the sketch estimate AND the exact answer on the real data, returns
+``within_bound`` booleans asserting the published error bound held, and the
+oracle returns the expected constants. Everything is deterministic (seeded
+hashes), so these are stable equalities, not flaky statistical tests.
+
+Operator inventory coverage: SURVEY.md §2.1 (HLL #1, Bloom #2, CMS #3,
+Count sketch #4 — pytest, MinHash #6 — here + pytest, KLL/t-digest #8) plus
+the training-pipeline ops (dedup, token stats, text quality, similarity).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+
+from sketch_spark.spark.agg import (
+    SketchSpec,
+    build_sketches,
+    estimate_udf,
+    sketch_by_key,
+)
+
+_QS = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build HLL + CMS + KLL + t-digest over sf0.001 lineitem in
+    one pass, merge distributed states, report estimate vs exact."""
+    sf_dir = "/root/testdata/sf0.001"
+    li = _t(spark, sf_dir, "lineitem")
+    specs = [
+        SketchSpec("hll_parts", "hll", "l_partkey", {"p": 14}),
+        SketchSpec("cms_parts", "cms", "l_partkey", {"l2sz": 16, "nh": 4}),
+        SketchSpec("kll_price", "kll", "l_extendedprice", {"k": 200}),
+        SketchSpec("td_price", "tdigest", "l_extendedprice", {"delta": 200.0}),
+    ]
+    sk = build_sketches(li, specs)
+    exact_distinct, n_rows = li.select(
+        F.countDistinct("l_partkey"), F.count("*")
+    ).first()
+    rows = [
+        Row(sketch="hll_parts", estimate=float(sk["hll_parts"].estimate()), exact=float(exact_distinct)),
+        Row(sketch="cms_total", estimate=float(sk["cms_parts"].total()), exact=float(n_rows)),
+        Row(sketch="kll_median", estimate=float(sk["kll_price"].quantile(0.5)), exact=float("nan")),
+        Row(sketch="td_median", estimate=float(sk["td_price"].quantile(0.5)), exact=float("nan")),
+    ]
+    return spark.createDataFrame(rows)
+
+
+# --------------------------------------------------------------------------
+# sketch queries with bound-check oracles
+# --------------------------------------------------------------------------
+
+
+def q_hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sk = build_sketches(li, [SketchSpec("h", "hll", "l_partkey", {"p": 14})])["h"]
+    exact = li.select(F.countDistinct("l_partkey")).first()[0]
+    est = sk.estimate()
+    ok = abs(est - exact) <= 3.0 * sk.relative_error() * exact
+    return spark.createDataFrame([Row(exact_distinct=int(exact), within_bound=bool(ok))])
+
+
+def q_hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    states = sketch_by_key(ev, "event_type", [SketchSpec("h", "hll", "user_id", {"p": 14})])
+    est = states.withColumn("est", estimate_udf()(F.col("state"))).select("event_type", "est")
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_distinct"))
+    bound = 3.0 * 1.03896 / np.sqrt(1 << 14)
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            (F.abs(F.col("est") - F.col("exact_distinct")) <= F.lit(bound) * F.col("exact_distinct")).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_cms_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sk = build_sketches(li, [SketchSpec("c", "cms", "l_partkey", {"l2sz": 16, "nh": 4})])["c"]
+    top = (
+        li.groupBy("l_partkey").count()
+        .orderBy(F.desc("count"), F.asc("l_partkey"))
+        .limit(10)
+        .collect()
+    )
+    keys = np.array([r["l_partkey"] for r in top], dtype=np.int64)
+    ests = sk.query(keys)
+    n = sk.total()
+    eps_n = sk.epsilon() * n
+    rows = [
+        Row(
+            l_partkey=int(r["l_partkey"]),
+            exact_cnt=int(r["count"]),
+            within_eps=bool(0 <= ests[i] - r["count"] <= max(eps_n * 3, 1.0)),
+        )
+        for i, r in enumerate(top)
+    ]
+    return spark.createDataFrame(rows).orderBy(F.desc("exact_cnt"), F.asc("l_partkey"))
+
+
+def q_bloom_orders_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sk = build_sketches(orders, [SketchSpec("b", "bloom", "o_orderkey", {"l2sz": 19, "nh": 6})])["b"]
+    present = np.array([r[0] for r in li.select("l_orderkey").distinct().collect()], dtype=np.int64)
+    absent = np.array([r[0] for r in orders.select("o_orderkey").distinct().collect()], dtype=np.int64) + 10_000_000_000
+    n_fn = int((~sk.may_contain(present)).sum())
+    measured_fpr = float(sk.may_contain(absent).mean())
+    ok = measured_fpr <= max(3.0 * sk.est_fpr(), 1e-3)
+    return spark.createDataFrame([Row(n_false_negatives=n_fn, fpr_within_bound=bool(ok))])
+
+
+def q_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sk = build_sketches(li, [SketchSpec("k", "kll", "l_extendedprice", {"k": 200})])["k"]
+    ests = {q: float(sk.quantile(q)) for q in _QS}
+    n = li.count()
+    ranks = li.select(
+        *[(F.sum((F.col("l_extendedprice") <= ests[q]).cast("long")) / n).alias(f"r{i}") for i, q in enumerate(_QS)]
+    ).first()
+    rows = [
+        Row(q=float(q), within_rank_eps=bool(abs(float(ranks[i]) - q) <= 3.0 * sk.epsilon()))
+        for i, q in enumerate(_QS)
+    ]
+    return spark.createDataFrame(rows).orderBy("q")
+
+
+def q_tdigest_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sk = build_sketches(ev, [SketchSpec("t", "tdigest", "value", {"delta": 200.0})])["t"]
+    ests = {q: float(sk.quantile(q)) for q in _QS}
+    n = ev.count()
+    ranks = ev.select(
+        *[(F.sum((F.col("value") <= ests[q]).cast("long")) / n).alias(f"r{i}") for i, q in enumerate(_QS)]
+    ).first()
+    rows = [
+        Row(q=float(q), within_rank_eps=bool(abs(float(ranks[i]) - q) <= 0.02))
+        for i, q in enumerate(_QS)
+    ]
+    return spark.createDataFrame(rows).orderBy("q")
+
+
+def q_minhash_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard between the first two documents sources: MinHash
+    bottom-k (k=512, degenerates to exact below fill) must equal the exact
+    set Jaccard the oracle computes in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    srcs = sorted(r[0] for r in docs.select("source").distinct().collect())[:2]
+    words = docs.where(F.col("source").isin(srcs)).select(
+        "source", F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("w")
+    )
+    states = sketch_by_key(words, "source", [SketchSpec("m", "minhash", "w", {"k": 512})])
+    got = {r["source"]: r["state"] for r in states.collect()}
+    from sketch_spark.sketches.base import from_bytes
+
+    ma, mb = from_bytes(bytes(got[srcs[0]])), from_bytes(bytes(got[srcs[1]]))
+    est = ma.jaccard_index(mb)
+    a = {r[0] for r in words.where(F.col("source") == srcs[0]).select("w").distinct().collect()}
+    b = {r[0] for r in words.where(F.col("source") == srcs[1]).select("w").distinct().collect()}
+    exact = len(a & b) / len(a | b)
+    return spark.createDataFrame(
+        [
+            Row(
+                source_a=srcs[0],
+                source_b=srcs[1],
+                exact_ji=float(exact),
+                within_tol=bool(abs(est - exact) <= 0.1 * max(exact, 0.05)),
+            )
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
+# training-pipeline queries with exact oracles
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(norm).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(norm)).alias("n_dup_docs"),
+    )
+
+
+def q_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    return (
+        docs.select("source", ntok.alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.max("nt").alias("max_tokens"),
+            F.min("nt").alias("min_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    punct = n_chars - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    digits = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    spaces = n_chars - F.length(F.regexp_replace(t, r" ", ""))
+    return (
+        docs.select("source", n_chars.alias("nc"), punct.alias("np"), digits.alias("nd"), spaces.alias("ns"))
+        .groupBy("source")
+        .agg(
+            F.sum("nc").alias("sum_chars"),
+            F.sum("np").alias("sum_punct"),
+            F.sum("nd").alias("sum_digits"),
+            F.sum("ns").alias("sum_spaces"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_word_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-word overlap between the two lexicographically-first
+    sources — fully SQL-expressible twin of the MinHash query."""
+    docs = _t(spark, sf_dir, "documents")
+    srcs = sorted(r[0] for r in docs.select("source").distinct().collect())[:2]
+    words = docs.where(F.col("source").isin(srcs)).select(
+        "source", F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("w")
+    ).distinct()
+    a = words.where(F.col("source") == srcs[0]).select("w")
+    b = words.where(F.col("source") == srcs[1]).select("w")
+    inter = a.intersect(b).count()
+    union = a.union(b).distinct().count()
+    return spark.createDataFrame(
+        [Row(source_a=srcs[0], source_b=srcs[1], n_intersect=int(inter), n_union=int(union))]
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 3 vectors (mapInArrow matmul
+    path); oracle recomputes with DuckDB list_cosine_similarity. Cosine
+    rounded to 4dp to absorb float-fold ordering differences."""
+    from sketch_spark.pipeline.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.where(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in qrows])
+    qvecs = np.array([r["embedding"] for r in qrows], dtype=np.float32)
+    out = brute_force_topk(emb, qvecs, qids, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round(F.col("cosine"), 4).alias("cosine4"), "rank"
+    ).orderBy("query_id", "rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "hll_distinct_parts": q_hll_distinct_parts,
+        "hll_distinct_users_by_type": q_hll_distinct_users_by_type,
+        "cms_top_parts": q_cms_top_parts,
+        "bloom_orders_membership": q_bloom_orders_membership,
+        "kll_price_quantiles": q_kll_price_quantiles,
+        "tdigest_event_values": q_tdigest_event_values,
+        "minhash_jaccard_sources": q_minhash_jaccard_sources,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "token_count_by_source": q_token_count_by_source,
+        "text_quality_by_source": q_text_quality_by_source,
+        "word_jaccard_sources": q_word_jaccard_sources,
+        "cosine_topk": q_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qs_rows = ", ".join(f"({q}, TRUE)" for q in _QS)
+    return {
+        "hll_distinct_parts": (
+            "SELECT count(DISTINCT l_partkey) AS exact_distinct, TRUE AS within_bound FROM lineitem"
+        ),
+        "hll_distinct_users_by_type": (
+            "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, TRUE AS within_bound "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "cms_top_parts": (
+            "SELECT l_partkey, count(*) AS exact_cnt, TRUE AS within_eps FROM lineitem "
+            "GROUP BY l_partkey ORDER BY exact_cnt DESC, l_partkey LIMIT 10"
+        ),
+        "bloom_orders_membership": (
+            "SELECT CAST(0 AS BIGINT) AS n_false_negatives, TRUE AS fpr_within_bound"
+        ),
+        "kll_price_quantiles": (
+            f"SELECT CAST(q AS DOUBLE) AS q, within_rank_eps FROM (VALUES {qs_rows}) AS t(q, within_rank_eps) ORDER BY q"
+        ),
+        "tdigest_event_values": (
+            f"SELECT CAST(q AS DOUBLE) AS q, within_rank_eps FROM (VALUES {qs_rows}) AS t(q, within_rank_eps) ORDER BY q"
+        ),
+        "minhash_jaccard_sources": (
+            """
+            WITH srcs AS (
+              SELECT source FROM documents GROUP BY source ORDER BY source LIMIT 2
+            ), words AS (
+              SELECT d.source, w
+              FROM documents d,
+                   unnest(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '')) AS u(w)
+              WHERE d.source IN (SELECT source FROM srcs)
+              GROUP BY d.source, w
+            ), pair AS (
+              SELECT (SELECT min(source) FROM srcs) AS sa, (SELECT max(source) FROM srcs) AS sb
+            ), counts AS (
+              SELECT
+                (SELECT count(*) FROM (
+                   SELECT w FROM words WHERE source = (SELECT sa FROM pair)
+                   INTERSECT SELECT w FROM words WHERE source = (SELECT sb FROM pair))) AS i,
+                (SELECT count(*) FROM (
+                   SELECT w FROM words WHERE source = (SELECT sa FROM pair)
+                   UNION SELECT w FROM words WHERE source = (SELECT sb FROM pair))) AS u
+            )
+            SELECT (SELECT sa FROM pair) AS source_a,
+                   (SELECT sb FROM pair) AS source_b,
+                   CAST(i AS DOUBLE) / u AS exact_ji,
+                   TRUE AS within_tol
+            FROM counts
+            """
+        ),
+        "dedup_exact_docs": (
+            "SELECT count(*) AS n_docs, "
+            "count(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS n_distinct, "
+            "count(*) - count(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS n_dup_docs "
+            "FROM documents"
+        ),
+        "token_count_by_source": (
+            "SELECT source, count(*) AS n_docs, "
+            "sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS total_tokens, "
+            "max(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS max_tokens, "
+            "min(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS min_tokens "
+            "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "text_quality_by_source": (
+            "SELECT source, "
+            "sum(length(text)) AS sum_chars, "
+            "sum(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) AS sum_punct, "
+            "sum(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS sum_digits, "
+            "sum(length(text) - length(replace(text, ' ', ''))) AS sum_spaces "
+            "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "word_jaccard_sources": (
+            """
+            WITH srcs AS (
+              SELECT source FROM documents GROUP BY source ORDER BY source LIMIT 2
+            ), words AS (
+              SELECT d.source, w
+              FROM documents d,
+                   unnest(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '')) AS u(w)
+              WHERE d.source IN (SELECT source FROM srcs)
+              GROUP BY d.source, w
+            )
+            SELECT (SELECT min(source) FROM srcs) AS source_a,
+                   (SELECT max(source) FROM srcs) AS source_b,
+                   CAST((SELECT count(*) FROM (
+                     SELECT w FROM words WHERE source = (SELECT min(source) FROM srcs)
+                     INTERSECT SELECT w FROM words WHERE source = (SELECT max(source) FROM srcs))) AS BIGINT) AS n_intersect,
+                   CAST((SELECT count(*) FROM (
+                     SELECT w FROM words WHERE source = (SELECT min(source) FROM srcs)
+                     UNION SELECT w FROM words WHERE source = (SELECT max(source) FROM srcs))) AS BIGINT) AS n_union
+            """
+        ),
+        "cosine_topk": (
+            """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3
+            ), scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) DESC, e.vec_id
+                     ) AS rank
+              FROM embeddings e, q
+            )
+            SELECT query_id, vec_id, round(cosine, 4) AS cosine4, rank
+            FROM scored WHERE rank <= 5 ORDER BY query_id, rank
+            """
+        ),
+    }

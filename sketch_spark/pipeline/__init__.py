@@ -1,0 +1,1 @@
+from sketch_spark.pipeline import dedup, multimodal, similarity, text  # noqa: F401

@@ -1,0 +1,233 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (100 TB / 1000 executors):
+  * exact dedup: one shuffle on the fingerprint — Catalyst's hash
+    aggregation with map-side partial combine; no driver state.
+  * MinHash-LSH near-dup: signatures computed per-row inside a single
+    mapInArrow pass (vectorized NumPy, no per-row Python), then candidate
+    pairs come from a self-equi-join on (band_id, band_hash) — a co-located
+    shuffle join on a compact key, never an O(n²) crossJoin. Banding theory:
+    P(candidate) = 1 - (1 - s^r)^b for Jaccard s, r rows/band, b bands.
+  * SimHash: 64-bit signature; near-dups = equal signature buckets (or
+    Hamming ≤ k via rotations — k rotations × 1 join each).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+from sketch_spark.hashing import splitmix64, wanghash
+from sketch_spark.pipeline.text import with_fingerprint
+
+_U64 = np.uint64
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per normalized-text fingerprint (min id wins —
+    deterministic). One hash-shuffle; survives any scale."""
+    fp = with_fingerprint(df, text_col)
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, ["fingerprint", id_col], "inner").drop("fingerprint")
+
+
+def dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(n_docs, n_distinct, n_dup_docs) under normalized-text equality."""
+    fp = with_fingerprint(df, text_col)
+    return fp.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_distinct"),
+        (F.count("*") - F.countDistinct("fingerprint")).alias("n_dup_docs"),
+    )
+
+
+# ---------------- MinHash signatures + LSH banding ---------------------------
+
+
+def _char_shingles(texts: np.ndarray, width: int) -> list[np.ndarray]:
+    """Per-doc arrays of hashed character shingles (vectorized per doc via
+    stride tricks on the byte buffer)."""
+    out = []
+    for t in texts:
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if len(b) < width:
+            out.append(np.zeros(1, dtype=np.uint64) if len(b) == 0 else
+                       np.array([wanghash(np.array([int.from_bytes(b.tobytes(), 'little') & ((1 << 64) - 1)], dtype=np.uint64))[0]], dtype=np.uint64))
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(b, width)
+        # polynomial hash of each window: dot with 257^i mod 2^64, vectorized
+        pows = np.power(_U64(257), np.arange(width, dtype=np.uint64), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            vals = (win.astype(np.uint64) * pows[None, :]).sum(axis=1, dtype=np.uint64)
+        out.append(wanghash(vals))
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    shingle_width: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<bigint>) — per-doc MinHash signature over char shingles.
+
+    One vectorized pass: for each doc, sig_i = min over shingles of
+    (a_i * h + b_i mod 2^64) — the classic affine hash family, computed as a
+    (num_hashes × n_shingles) NumPy broadcast per document batch.
+    """
+    a = splitmix64(seed, num_hashes) | _U64(1)  # odd multipliers
+    b = splitmix64(seed ^ 0xABCD, num_hashes)
+
+    def sign(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            texts = batch.column(batch.schema.get_field_index(text_col)).to_numpy(zero_copy_only=False)
+            sigs = []
+            with np.errstate(over="ignore"):
+                for sh in _char_shingles(texts, shingle_width):
+                    # (H, S) broadcast: min over shingles per hash
+                    m = (a[:, None] * sh[None, :] + b[:, None]).min(axis=1)
+                    sigs.append(m.astype(np.int64))  # two's-complement view for Spark bigint
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array([s.tolist() for s in sigs], pa.list_(pa.int64()))],
+                names=[id_col, "sig"],
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInArrow(sign, f"{id_col} {id_type}, sig array<bigint>")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows_per_band: int = 8
+) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH — a self-join on band buckets.
+
+    Explode each signature into `bands` (band_id, band_hash) keys, then
+    equi-join bucket members. The join key is compact (two ints), so this is
+    a plain shuffle join Catalyst can plan; at 100 TB the bucket join
+    replaces the impossible O(n²) similarity matrix.
+    """
+    n = bands * rows_per_band
+    band_exprs = [
+        F.struct(
+            F.lit(i).alias("band_id"),
+            F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band).cast("string")).alias("band_hash"),
+        )
+        for i in range(bands)
+    ]
+    exploded = (
+        sigs.select(id_col, F.explode(F.array(*band_exprs)).alias("b"))
+        .select(id_col, "b.band_id", "b.band_hash")
+    )
+    l = exploded.alias("l")
+    r = exploded.alias("r")
+    return (
+        l.join(r, ["band_id", "band_hash"])
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def signature_jaccard(sigs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of equal signature
+    slots (zip_with, JVM-side)."""
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.size("sig_a"),
+        )
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_lsh_neardups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 128,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end near-duplicate pairs at estimated Jaccard ≥ threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes=num_hashes, seed=seed)
+    sigs = sigs.persist()
+    pairs = lsh_candidate_pairs(sigs, id_col, bands=bands, rows_per_band=num_hashes // bands)
+    return signature_jaccard(sigs, pairs, id_col).where(F.col("est_jaccard") >= threshold)
+
+
+# ---------------- SimHash ------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_width: int = 5
+) -> DataFrame:
+    """64-bit SimHash per doc: sign of the per-bit sum of shingle hashes."""
+
+    def sign(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            texts = batch.column(batch.schema.get_field_index(text_col)).to_numpy(zero_copy_only=False)
+            out = np.empty(len(texts), dtype=np.int64)
+            for i, sh in enumerate(_char_shingles(texts, shingle_width)):
+                bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)).astype(np.int64)
+                vote = (2 * bits - 1).sum(axis=0)
+                sig = np.uint64(0)
+                sig = (np.where(vote > 0, 1, 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+                out[i] = np.int64(sig.astype(np.int64))
+            yield pa.RecordBatch.from_arrays([ids, pa.array(out, pa.int64())], names=[id_col, "simhash"])
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInArrow(sign, f"{id_col} {id_type}, simhash bigint")
+
+
+def simhash_neardups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Pairs with identical SimHash (bucket join; Hamming-k via rotations is
+    the same join repeated k times — kept simple here)."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    l = sigs.alias("l")
+    r = sigs.alias("r")
+    return (
+        l.join(r, "simhash")
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for given pairs — JVM-side array ops
+    (the exact counterpart LSH approximates; use on candidate pairs only)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    g = df.select(F.col(id_col), grams.alias("grams"))
+    ga = g.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
+    gb = g.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return (
+        pairs.join(ga, "id_a").join(gb, "id_b")
+        .withColumn("jaccard", F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)))
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -28,9 +28,11 @@ from functools import reduce
 from typing import Any, Iterator
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 
 from sketch_spark.hashing import hash_strings
 from sketch_spark.sketches.base import Sketch, from_bytes, make_sketch
@@ -205,8 +207,6 @@ def sketch_by_key(df: DataFrame, key: str, specs: list[SketchSpec]) -> DataFrame
     partials = df.select(*cols).mapInArrow(partial, f"{key} string, name string, state binary")
 
     def final_merge(pdf):
-        import pandas as pd
-
         sk = from_bytes(bytes(pdf["state"].iloc[0]))
         for blob in pdf["state"].iloc[1:]:
             sk.merge(from_bytes(bytes(blob)))
@@ -228,9 +228,6 @@ def estimate_udf():
     Works for any state kind with a scalar summary: hll/minhash →
     cardinality, bloom → fill-ratio cardinality, cms → total count.
     """
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
     @pandas_udf("double")
     def _est(states: pd.Series) -> pd.Series:
         out = []
@@ -251,9 +248,6 @@ def estimate_udf():
 
 def quantile_udf(qs: list[float]):
     """pandas UDF: quantile-sketch state → array<double> at the given qs."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
     @pandas_udf("array<double>")
     def _q(states: pd.Series) -> pd.Series:
         return pd.Series(
@@ -267,8 +261,6 @@ def merge_states_expr(df: DataFrame, group_cols: list[str]) -> DataFrame:
     """groupBy(group_cols, name) reduce-merge of a states DataFrame."""
 
     def m(pdf):
-        import pandas as pd
-
         sk = from_bytes(bytes(pdf["state"].iloc[0]))
         for blob in pdf["state"].iloc[1:]:
             sk.merge(from_bytes(bytes(blob)))

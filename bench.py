@@ -1,0 +1,141 @@
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Headline queries:
+
+  token_hll_build   — flagship north-rule job: HLL+CMS+Bloom+MinHash+KLL in a
+                      single scan over a synthesized token table
+                      (doc_id, tokens array<int32>, n_tok, source) — the
+                      tokens/sec number the baseline asks for
+  lineitem_sketches — multi-sketch single-pass over sf lineitem
+  hll_by_key        — grouped HLL over events.user_id by event_type
+  dedup_stats       — exact-dedup stats over documents
+  minhash_lsh       — MinHash signatures + banded-LSH near-dup pairs (docs)
+  cosine_topk       — brute-force cosine top-10 for 8 queries (embeddings)
+  quantiles         — KLL + t-digest over lineitem extendedprice
+
+Usage:
+  python bench.py                  # one JSON line on stdout
+  python bench.py --cores 8        # override parallelism (scaling runs)
+  python bench.py --json-extra     # include tokens/sec + rows/sec detail
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from sketch_spark.fixtures import ensure_token_table
+from sketch_spark.pipeline.dedup import dedup_stats, minhash_lsh_neardups
+from sketch_spark.pipeline.similarity import brute_force_topk
+from sketch_spark.spark.agg import SketchSpec, build_sketches, sketch_by_key
+from sketch_spark.spark.files import build_sketches_from_parquet
+from sketch_spark.spark.session import get_spark
+
+# ~256 tokens/doc → 60k docs ≈ 15.4M tokens at sf0.1-equivalent effort
+TOKEN_DOCS = {"0.001": 600, "0.01": 6_000, "0.1": 60_000}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--json-extra", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = args.sf_dir
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cores = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(cores=cores, app=f"sketch_bench_c{cores}")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+                return self
+
+            def __exit__(self, *exc):
+                timings[name] = round(time.perf_counter() - self.t0, 3)
+
+        return _T()
+
+    # ---- flagship: sketch build over the north-rule token table -------------
+    # parquet-direct path (Spark file tasks + in-task pyarrow columnar reads):
+    # skips the JVM row→Arrow conversion that costs ~10× the kernels
+    n_docs = TOKEN_DOCS.get(sf, 10_000)
+    tok_dir = ensure_token_table(n_docs=n_docs)
+    tok = spark.read.parquet(tok_dir)
+    n_tokens = tok.select(F.sum("n_tok")).first()[0]
+    token_specs = [
+        SketchSpec("hll", "hll", "tokens", {"p": 14}),
+        SketchSpec("cms", "cms", "tokens", {"l2sz": 18, "nh": 4}),
+        SketchSpec("bloom", "bloom", "tokens", {"l2sz": 24, "nh": 3}),
+        SketchSpec("mh", "minhash", "tokens", {"k": 1024}),
+        SketchSpec("kll", "kll", "n_tok", {"k": 200}),
+    ]
+    build_sketches_from_parquet(spark, tok_dir, token_specs)  # warm-up workers
+    with timed("token_hll_build"):
+        sk = build_sketches_from_parquet(spark, tok_dir, token_specs)
+    assert sk["cms"].total() == n_tokens
+    extra["tokens_per_sec"] = round(n_tokens / timings["token_hll_build"], 1)
+    extra["n_tokens"] = int(n_tokens)
+
+    # ---- lineitem multi-sketch single pass ----------------------------------
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    with timed("lineitem_sketches"):
+        build_sketches(
+            li,
+            [
+                SketchSpec("h", "hll", "l_partkey", {"p": 14}),
+                SketchSpec("c", "cms", "l_partkey", {"l2sz": 16, "nh": 4}),
+                SketchSpec("k", "kll", "l_extendedprice", {"k": 200}),
+                SketchSpec("t", "tdigest", "l_extendedprice", {"delta": 200.0}),
+            ],
+        )
+
+    # ---- grouped sketches ----------------------------------------------------
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    with timed("hll_by_key"):
+        sketch_by_key(ev, "event_type", [SketchSpec("h", "hll", "user_id", {"p": 14})]).collect()
+
+    # ---- pipeline ops ----------------------------------------------------------
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    with timed("dedup_stats"):
+        dedup_stats(docs).collect()
+    with timed("minhash_lsh"):
+        minhash_lsh_neardups(docs, threshold=0.7, num_hashes=64, bands=16).count()
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qrows = emb.where(F.col("vec_id") < 8).collect()
+    qvecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in qrows])
+    with timed("cosine_topk"):
+        brute_force_topk(emb, qvecs, qids, k=10).collect()
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cores": cores,
+    }
+    if args.json_extra:
+        out["extra"] = extra
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

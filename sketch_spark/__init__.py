@@ -27,5 +27,17 @@ from sketch_spark.sketches import (  # noqa: F401
     from_bytes,
     make_sketch,
 )
+from sketch_spark.spark import (  # noqa: F401
+    SketchSpec,
+    build_sketches,
+    build_sketches_from_parquet,
+    estimate_udf,
+    get_spark,
+    merge_states_expr,
+    partition_states,
+    quantile_udf,
+    sketch_by_key,
+    tree_merge_states,
+)
 
 __version__ = "0.1.0"

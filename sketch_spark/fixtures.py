@@ -169,12 +169,18 @@ def ensure_fixtures(base_dir: str, n_docs: int = 10_000, seed: int = 42) -> dict
     return generate(base_dir, n_docs=n_docs, seed=seed)
 
 
-def synth_token_table(spark, n_docs: int, seed: int = 42, cache_dir: str | None = None):
-    """Token DataFrame for bench: generate parquet to cache_dir (once), read
-    back — so Spark scans real files with real partition planning."""
-    cache_dir = cache_dir or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".fixtures_cache", f"tok_{n_docs}_{seed}"
+def token_table_path(n_docs: int, seed: int = 42) -> str:
+    """Deterministic cache location for the synthesized token table."""
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".fixtures_cache",
+        f"tok_{n_docs}_{seed}",
     )
+
+
+def ensure_token_table(n_docs: int, seed: int = 42, cache_dir: str | None = None) -> str:
+    """Generate the token-table parquet once; return its directory."""
+    cache_dir = cache_dir or token_table_path(n_docs, seed)
     marker = os.path.join(cache_dir, "_done")
     if not os.path.exists(marker):
         rng = np.random.default_rng(seed)
@@ -182,7 +188,13 @@ def synth_token_table(spark, n_docs: int, seed: int = 42, cache_dir: str | None 
         _write(cache_dir, ids, flat, off, src, n_files=32)
         with open(marker, "w") as f:
             f.write("ok")
-    return spark.read.parquet(cache_dir)
+    return cache_dir
+
+
+def synth_token_table(spark, n_docs: int, seed: int = 42, cache_dir: str | None = None):
+    """Token DataFrame for bench: generate parquet to cache_dir (once), read
+    back — so Spark scans real files with real partition planning."""
+    return spark.read.parquet(ensure_token_table(n_docs, seed, cache_dir))
 
 
 if __name__ == "__main__":

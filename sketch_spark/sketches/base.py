@@ -20,6 +20,7 @@ mirroring the reference's PREC_REQ checks (hll.h:935, ccm.h:369-370).
 from __future__ import annotations
 
 import json
+import zlib
 from typing import Any, ClassVar
 
 import numpy as np
@@ -79,6 +80,11 @@ class Sketch:
 
     # ---- serialization ----------------------------------------------------
     def to_bytes(self) -> bytes:
+        """Self-describing frame. Large register arrays (partition-level CMS /
+        Bloom tables are mostly zeros) are zlib-compressed when that shrinks
+        them — the shuffle/treeReduce payload per task drops from MBs to KBs,
+        which is what keeps the merge stage network-free at scale. The
+        reference gzips its states for the same reason (hll.h:1013-1060)."""
         arrays = self._arrays()
         manifest = []
         payloads = []
@@ -88,8 +94,14 @@ class Sketch:
                 a = a.astype(a.dtype.newbyteorder("<"))
             manifest.append({"name": name, "dtype": a.dtype.str, "shape": list(a.shape)})
             payloads.append(a.tobytes())
+        raw = b"".join(payloads)
+        comp = "raw"
+        if len(raw) > 4096:
+            z = zlib.compress(raw, 1)
+            if len(z) < len(raw) * 0.9:
+                raw, comp = z, "zlib"
         header = json.dumps(
-            {"kind": self.kind, "params": self._params(), "arrays": manifest},
+            {"kind": self.kind, "params": self._params(), "arrays": manifest, "comp": comp},
             separators=(",", ":"),
             sort_keys=True,
         ).encode()
@@ -98,8 +110,7 @@ class Sketch:
         out += _VERSION.to_bytes(2, "little")
         out += len(header).to_bytes(4, "little")
         out += header
-        for p in payloads:
-            out += p
+        out += raw
         return bytes(out)
 
     def __eq__(self, other: object) -> bool:
@@ -121,13 +132,16 @@ def from_bytes(buf: bytes) -> Sketch:
     cls = _REGISTRY.get(header["kind"])
     if cls is None:
         raise ValueError(f"unknown sketch kind {header['kind']!r}")
+    payload = buf[10 + hlen :]
+    if header.get("comp") == "zlib":
+        payload = zlib.decompress(payload)
     arrays: dict[str, np.ndarray] = {}
-    off = 10 + hlen
+    off = 0
     for m in header["arrays"]:
         dt = np.dtype(m["dtype"])
         count = int(np.prod(m["shape"])) if m["shape"] else 1
         nbytes = dt.itemsize * count
-        arr = np.frombuffer(buf[off : off + nbytes], dtype=dt).reshape(m["shape"]).copy()
+        arr = np.frombuffer(payload[off : off + nbytes], dtype=dt).reshape(m["shape"]).copy()
         arrays[m["name"]] = arr
         off += nbytes
     return cls._from_state(header["params"], arrays)

@@ -54,7 +54,18 @@ class _TableSketch(Sketch):
         return {"l2sz": self.l2sz, "nh": self.nh, "seed": self.seed}
 
     def _arrays(self) -> dict[str, np.ndarray]:
-        return {"table": self.table}
+        # wire-format compaction: partition-level counters are small, so ship
+        # the narrowest dtype that holds the value range (the reference packs
+        # counters to nbits via compact_vector, ccm.h:154; same idea, dtype
+        # granularity). Restored to int64 in _from_state.
+        t = self.table
+        if t.size:
+            lo, hi = int(t.min()), int(t.max())
+            for dt in (np.int8, np.int16, np.int32):
+                info = np.iinfo(dt)
+                if info.min <= lo and hi <= info.max:
+                    return {"table": t.astype(dt)}
+        return {"table": t}
 
     @classmethod
     def _from_state(cls, params, arrays):

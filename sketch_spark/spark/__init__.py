@@ -9,3 +9,4 @@ from sketch_spark.spark.agg import (  # noqa: F401
     tree_merge_states,
 )
 from sketch_spark.spark.session import get_spark  # noqa: F401
+from sketch_spark.spark.files import build_sketches_from_parquet, list_parquet_files  # noqa: F401

@@ -64,15 +64,14 @@ class SketchSpec:
         return self.kind in ("kll", "tdigest")
 
 
-def _extract_column(batch: pa.RecordBatch, col: str, want_float: bool) -> np.ndarray:
-    """Flatten one Arrow column to a contiguous NumPy batch (vectorized).
+def _extract_from_array(arr, want_float: bool) -> np.ndarray:
+    """Flatten one Arrow array/chunked-array to a contiguous NumPy batch.
 
     array<int*> → flattened element values; string → FNV64+WangHash ids;
     numeric → direct (cast to float64 for quantile sketches, uint64 ids
     otherwise).
     """
-    arr = batch.column(batch.schema.get_field_index(col))
-    if isinstance(arr, pa.ChunkedArray):  # pragma: no cover - RecordBatch cols are flat
+    if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
         flat = arr.flatten()
@@ -87,6 +86,10 @@ def _extract_column(batch: pa.RecordBatch, col: str, want_float: bool) -> np.nda
     if v.dtype.kind == "f":
         v = v.astype(np.int64)
     return v
+
+
+def _extract_column(batch: pa.RecordBatch, col: str, want_float: bool) -> np.ndarray:
+    return _extract_from_array(batch.column(batch.schema.get_field_index(col)), want_float)
 
 
 def partition_states(df: DataFrame, specs: list[SketchSpec]) -> DataFrame:

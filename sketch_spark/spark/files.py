@@ -1,0 +1,133 @@
+"""Parquet-direct distributed sketch build: Spark schedules file tasks,
+pyarrow reads columns inside them.
+
+Why this path exists: Spark's Python exchange converts a parquet scan
+columnar→InternalRow→Arrow *per row* before a `mapInArrow` UDF sees it. For
+wide `array<int32>` token columns that JVM conversion costs ~10× more than
+the sketch kernels themselves (measured: an 18M-token scan spends ~13-18 s
+in conversion vs ~0.25 s/partition in NumPy updates). Reading the parquet
+columns directly with pyarrow inside each task skips the double conversion
+— the bytes go parquet → Arrow → NumPy zero-copy — and gives *true* column
+pruning (only the sketched columns are read at all).
+
+Scale design: the task unit is the input file (at 100 TB, files ≫ cores, so
+Spark's scheduler balances them; per-task pyarrow runs single-threaded to
+avoid oversubscribing executor cores — Spark owns the parallelism). States
+merge through a log-depth treeReduce, kilobytes per task regardless of
+input size. This is the same execution shape as the reference's MPI job
+(mpiParallelIO.cpp: chunked parallel read → local sketch → gathered merge)
+with Spark doing the scheduling, retries, and the tree correctly (the
+reference's own tree combine is disabled as buggy, mpiParallelIO.cpp:83-84).
+
+The DataFrame path (`sketch_spark.spark.agg`) remains the general route for
+sketching *derived* DataFrames (post-filter/join/column-expr); this module
+is the fast path for whole-table builds, and the two produce byte-identical
+states (tested)."""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Iterator
+
+from pyspark.sql import SparkSession
+
+from sketch_spark.sketches.base import Sketch, from_bytes
+from sketch_spark.spark.agg import SketchSpec, _extract_from_array
+
+
+def list_parquet_files(path_or_files: str | list[str]) -> list[str]:
+    if isinstance(path_or_files, (list, tuple)):
+        return sorted(path_or_files)
+    return sorted(
+        os.path.join(path_or_files, f)
+        for f in os.listdir(path_or_files)
+        if f.endswith(".parquet")
+    )
+
+
+def _build_states_for_files(
+    files: Iterable[str], spec_list: list[tuple], row_filter=None, extra_columns=()
+) -> Iterator[dict[str, bytes]]:
+    """Task body: read needed columns of each file with pyarrow
+    (single-threaded — Spark owns core-level parallelism), update one sketch
+    set, emit serialized states."""
+    import pyarrow.parquet as pq
+
+    from sketch_spark.sketches.base import make_sketch
+
+    sketches = {name: make_sketch(kind, **params) for name, kind, _, params, _ in spec_list}
+    cols = sorted({c for _, _, c, _, _ in spec_list} | set(extra_columns))
+    any_file = False
+    for path in files:
+        any_file = True
+        table = pq.read_table(path, columns=cols, use_threads=False)
+        if row_filter is not None:
+            table = row_filter(table)
+        for name, _, col, _, want_float in spec_list:
+            vals = _extract_from_array(table.column(col), want_float)
+            sketches[name].update(vals)
+    if any_file:
+        yield {name: sk.to_bytes() for name, sk in sketches.items()}
+
+
+def _fold_states(dicts: Iterable[dict[str, bytes]]) -> Iterator[dict[str, bytes]]:
+    """Fold many serialized state-dicts into one: each input is deserialized
+    exactly once and the accumulator is re-serialized exactly once (a
+    pairwise reduce would pay compress+decompress per step)."""
+    acc: dict[str, Sketch] | None = None
+    for d in dicts:
+        if acc is None:
+            acc = {name: from_bytes(blob) for name, blob in d.items()}
+        else:
+            for name, blob in d.items():
+                acc[name].merge(from_bytes(blob))
+    if acc is not None:
+        yield {name: sk.to_bytes() for name, sk in acc.items()}
+
+
+def _fold_objects(dicts: Iterable[dict[str, bytes]]) -> dict[str, Sketch]:
+    acc: dict[str, Sketch] | None = None
+    for d in dicts:
+        if acc is None:
+            acc = {name: from_bytes(blob) for name, blob in d.items()}
+        else:
+            for name, blob in d.items():
+                acc[name].merge(from_bytes(blob))
+    if acc is None:
+        raise ValueError("no states to merge")
+    return acc
+
+
+def build_sketches_from_parquet(
+    spark: SparkSession,
+    path_or_files: str | list[str],
+    specs: list[SketchSpec],
+    row_filter=None,
+    extra_columns: tuple[str, ...] = (),
+) -> dict[str, Sketch]:
+    """Whole-table sketch build, parquet-direct: one Spark task per input
+    file → per-file sketch states → log-fanout coalesce-merge tree.
+
+    ``row_filter``: optional ``pa.Table -> pa.Table`` applied per file (the
+    pushdown hook for simple predicates; must be deterministic).
+    ``extra_columns``: columns the filter needs beyond the sketched ones."""
+    files = list_parquet_files(path_or_files)
+    if not files:
+        raise ValueError(f"no parquet files under {path_or_files!r}")
+    spec_list = [(s.name, s.kind, s.col, dict(s.params), s.is_quantile) for s in specs]
+    # one task per file while files are scarce; multiple files per task once
+    # files ≫ cores so each task pre-merges locally and ships ONE state set
+    n_slices = min(len(files), spark.sparkContext.defaultParallelism * 4)
+    rdd = spark.sparkContext.parallelize(files, n_slices).mapPartitions(
+        lambda part: _build_states_for_files(part, spec_list, row_filter, extra_columns)
+    )
+    # log-fanout tree of partition-local folds (coalesce = no shuffle), then a
+    # driver-side object fold over the last ≤ fanout states. Each state is
+    # deserialized once per level — the correct version of the reference's
+    # disabled binomial tree (mpiParallelIO.cpp:301-345).
+    fanout = 32
+    nparts = n_slices
+    while nparts > fanout:
+        nparts = max(fanout, nparts // fanout)
+        rdd = rdd.coalesce(nparts).mapPartitions(_fold_states)
+    return _fold_objects(rdd.collect())

@@ -22,6 +22,15 @@ def get_spark(
     risk note.
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # make the package importable in executor Python workers no matter where
+    # the driver script lives (cluster deploys ship it via spark-submit
+    # --py-files; local workers read PYTHONPATH at launch)
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)

@@ -1,0 +1,90 @@
+"""Bloom filter: no false negatives, measured FPR vs the popcount estimate,
+OR-merge laws, fill-ratio cardinality, set algebra.
+
+Reference analogs: testsrc/bftest.cpp:13-52 (insert s1: all hit; probe
+disjoint s2: measure FPR; self-jaccard == 1), bf.h:486-511 (merge |=),
+bf.h:73-76 (cardinality), bf.h:199-202 (FPR estimate)."""
+
+import numpy as np
+import pytest
+
+from sketch_spark.sketches.base import from_bytes, merge_all
+from sketch_spark.sketches.bloom import BloomFilter, optimal_nhashes
+
+RNG = np.random.default_rng(1337)
+
+PRESENT = RNG.integers(0, 10_000_000, 20_000, dtype=np.int64)
+ABSENT = RNG.integers(10_000_000, 20_000_000, 20_000, dtype=np.int64)
+
+
+def test_no_false_negatives():
+    bf = BloomFilter(l2sz=18, nh=4).update(PRESENT)
+    assert bf.may_contain(PRESENT).all()
+
+
+def test_measured_fpr_within_estimate():
+    bf = BloomFilter(l2sz=18, nh=4).update(PRESENT)
+    measured = float(bf.may_contain(ABSENT).mean())
+    est = bf.est_fpr()
+    assert measured <= 3.0 * est + 1e-3
+    # and the estimate itself is sane for ~19k distinct in 2^18 bits / 4 hashes
+    assert est < 0.05
+
+
+def test_empty_filter_contains_nothing():
+    bf = BloomFilter(l2sz=12, nh=3)
+    assert not bf.may_contain(ABSENT[:100]).any()
+    assert bf.cardinality_estimate() == pytest.approx(0.0)
+
+
+def test_cardinality_from_fill_ratio():
+    n_distinct = len(np.unique(PRESENT))
+    bf = BloomFilter(l2sz=20, nh=4).update(PRESENT)
+    assert abs(bf.cardinality_estimate() - n_distinct) / n_distinct < 0.05
+
+
+def test_merge_equals_single_pass_byte_identical():
+    parts = np.array_split(PRESENT, 7)
+    merged = merge_all(BloomFilter(l2sz=16, nh=4).update(p) for p in parts)
+    single = BloomFilter(l2sz=16, nh=4).update(PRESENT)
+    assert merged.to_bytes() == single.to_bytes()
+
+
+def test_merge_associative_commutative():
+    a = BloomFilter(l2sz=14, nh=3).update(PRESENT[:5000])
+    b = BloomFilter(l2sz=14, nh=3).update(PRESENT[5000:10000])
+    c = BloomFilter(l2sz=14, nh=3).update(ABSENT[:5000])
+    assert a.copy().merge(b).merge(c).to_bytes() == a.copy().merge(b.copy().merge(c)).to_bytes()
+    assert a.copy().merge(b).to_bytes() == b.copy().merge(a).to_bytes()
+
+
+def test_merge_mismatch_raises():
+    with pytest.raises(ValueError):
+        BloomFilter(l2sz=14, nh=3).merge(BloomFilter(l2sz=15, nh=3))
+    with pytest.raises(ValueError):
+        BloomFilter(l2sz=14, nh=3, seed=1).merge(BloomFilter(l2sz=14, nh=3, seed=2))
+
+
+def test_set_algebra_union_intersection_jaccard():
+    """A=[0,20k), B=[10k,30k): true union 30k, intersection 10k, JI=1/3."""
+    a = BloomFilter(l2sz=20, nh=4).update(np.arange(0, 20_000, dtype=np.int64))
+    b = BloomFilter(l2sz=20, nh=4).update(np.arange(10_000, 30_000, dtype=np.int64))
+    assert abs(a.union_size(b) - 30_000) / 30_000 < 0.05
+    assert abs(a.intersection_size(b) - 10_000) / 10_000 < 0.15
+    assert abs(a.jaccard_index(b) - 1.0 / 3.0) < 0.05
+    assert a.jaccard_index(a) == pytest.approx(1.0, abs=0.01)  # bftest.cpp:43
+
+
+def test_optimal_nhashes():
+    # ln2 * m/n (bf.h:15-20)
+    assert optimal_nhashes(1 << 20, 100_000) == round(np.log(2) * (1 << 20) / 100_000)
+    assert optimal_nhashes(1 << 10, 0) >= 1
+
+
+def test_serialization_round_trip():
+    bf = BloomFilter(l2sz=16, nh=4).update(PRESENT[:1000])
+    bf2 = from_bytes(bf.to_bytes())
+    assert bf2.to_bytes() == bf.to_bytes()
+    np.testing.assert_array_equal(
+        bf2.may_contain(PRESENT[:1000]), bf.may_contain(PRESENT[:1000])
+    )

@@ -1,0 +1,139 @@
+"""Count-Min sketch + Count sketch: point-frequency error on the reference's
+skewed stream, merge laws, weighted updates, deletion, fold.
+
+Reference analogs: testsrc/mctest.cpp:46-76 (item 137 → ~1004 occurrences,
+|est − true| < 10 on a 100k stream with a 3×2^18-ish table), ccm.h:342-349
+(min query), ccm.h:496-509 (median query), ccm.h:545-554 (fold)."""
+
+import numpy as np
+import pytest
+
+from sketch_spark.sketches.base import from_bytes, merge_all
+from sketch_spark.sketches.cms import CountMinSketch, CountSketch
+
+RNG = np.random.default_rng(7)
+
+
+def _skewed_stream() -> tuple[np.ndarray, int]:
+    """mctest.cpp:46-61 analog: one heavy item (137, ~1004 occurrences) in a
+    100k-item background stream."""
+    base = RNG.integers(0, 2**20, 100_000, dtype=np.int64)
+    base = base[base != 137]
+    stream = np.concatenate([base, np.full(1004, 137, dtype=np.int64)])
+    RNG.shuffle(stream)
+    return stream, 1004
+
+
+STREAM, TRUE_137 = _skewed_stream()
+
+
+def test_cms_point_query_error_bound():
+    cms = CountMinSketch(l2sz=18, nh=4).update(STREAM)
+    est = int(cms.query(np.array([137]))[0])
+    # CMS never underestimates; reference asserts overshoot < 10
+    assert est >= TRUE_137
+    assert est - TRUE_137 < 10
+    # published bound: overshoot ≤ ε·N w.p. ≥ 1−δ
+    assert est - TRUE_137 <= cms.epsilon() * cms.total() * 3 + 1
+
+
+def test_cms_total_is_stream_length():
+    cms = CountMinSketch(l2sz=16, nh=4).update(STREAM)
+    assert cms.total() == len(STREAM)
+
+
+def test_cms_batch_query_vectorized():
+    cms = CountMinSketch(l2sz=18, nh=4).update(STREAM)
+    keys, true_counts = np.unique(STREAM, return_counts=True)
+    top = np.argsort(-true_counts)[:50]
+    ests = cms.query(keys[top])
+    assert (ests >= true_counts[top]).all()
+    assert (ests - true_counts[top] < 12).all()
+
+
+def test_cms_weighted_update():
+    cms = CountMinSketch(l2sz=16, nh=4)
+    cms.update(np.array([5, 9], dtype=np.int64), counts=np.array([100, 7]))
+    est = cms.query(np.array([5, 9], dtype=np.int64))
+    assert est[0] >= 100 and est[1] >= 7
+    assert cms.total() == 107
+
+
+def test_cms_merge_equals_single_pass_byte_identical():
+    parts = np.array_split(STREAM, 9)
+    merged = merge_all(CountMinSketch(l2sz=14, nh=4).update(p) for p in parts)
+    single = CountMinSketch(l2sz=14, nh=4).update(STREAM)
+    assert merged.to_bytes() == single.to_bytes()
+
+
+def test_cms_merge_mismatch_raises():
+    with pytest.raises(ValueError):
+        CountMinSketch(l2sz=14, nh=4, seed=1).merge(CountMinSketch(l2sz=14, nh=4, seed=2))
+
+
+def test_cms_elementwise_min_upper_bounds_intersection():
+    a = CountMinSketch(l2sz=16, nh=4).update(np.arange(0, 1000, dtype=np.int64))
+    b = CountMinSketch(l2sz=16, nh=4).update(np.arange(500, 1500, dtype=np.int64))
+    inter = a.copy()
+    inter.elementwise_min(b)
+    # true intersection multiset = items 500..999 each once
+    est = inter.query(np.arange(500, 1000, dtype=np.int64))
+    assert (est >= 1).all()
+
+
+def test_cms_l2est_close_to_true_l2():
+    vals, counts = np.unique(STREAM, return_counts=True)
+    true_l2 = float(np.sqrt((counts.astype(np.float64) ** 2).sum()))
+    cms = CountMinSketch(l2sz=18, nh=4).update(STREAM)
+    assert abs(cms.l2est() - true_l2) / true_l2 < 0.1
+
+
+# ---------------- Count sketch (signed, median query) ------------------------
+
+
+def test_countsketch_point_query_error():
+    cs = CountSketch(l2sz=18, nh=5).update(STREAM)
+    est = int(cs.query(np.array([137]))[0])
+    assert abs(est - TRUE_137) < 10  # mctest.cpp:75 pattern
+
+
+def test_countsketch_supports_deletion():
+    cs = CountSketch(l2sz=16, nh=5)
+    cs.update(np.full(500, 42, dtype=np.int64))
+    cs.remove(np.full(500, 42, dtype=np.int64))
+    assert int(cs.query(np.array([42]))[0]) == 0
+    assert int(np.abs(cs.table).sum()) == 0  # linear sketch: exact cancel
+
+
+def test_countsketch_subtract_is_stream_difference():
+    a = CountSketch(l2sz=14, nh=5).update(np.arange(1000, dtype=np.int64))
+    b = CountSketch(l2sz=14, nh=5).update(np.arange(500, dtype=np.int64))
+    diff = a.copy().subtract(b)
+    want = CountSketch(l2sz=14, nh=5).update(np.arange(500, 1000, dtype=np.int64))
+    assert diff.to_bytes() == want.to_bytes()
+
+
+def test_countsketch_merge_equals_single_pass():
+    parts = np.array_split(STREAM, 5)
+    merged = merge_all(CountSketch(l2sz=14, nh=5).update(p) for p in parts)
+    single = CountSketch(l2sz=14, nh=5).update(STREAM)
+    assert merged.to_bytes() == single.to_bytes()
+
+
+def test_countsketch_fold_stays_query_consistent():
+    cs = CountSketch(l2sz=16, nh=5).update(STREAM)
+    folded = cs.fold(2)  # width /4
+    assert folded.l2sz == 14
+    est = int(folded.query(np.array([137]))[0])
+    # coarser table, wider error — but the heavy hitter survives
+    assert abs(est - TRUE_137) < 200
+
+
+def test_serialization_round_trip_cms_cs():
+    for sk in (CountMinSketch(l2sz=14, nh=4).update(STREAM[:10_000]),
+               CountSketch(l2sz=14, nh=5).update(STREAM[:10_000])):
+        back = from_bytes(sk.to_bytes())
+        assert back.to_bytes() == sk.to_bytes()
+        np.testing.assert_array_equal(
+            back.query(np.array([137])), sk.query(np.array([137]))
+        )

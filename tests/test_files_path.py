@@ -1,0 +1,76 @@
+"""Parquet-direct build path: byte parity with the DataFrame path for
+exact-state sketches, estimate parity for quantile sketches, row_filter
+pushdown hook."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sketch_spark.spark.agg import SketchSpec, build_sketches
+from sketch_spark.spark.files import build_sketches_from_parquet, list_parquet_files
+
+SPECS = [
+    SketchSpec("h", "hll", "tokens", {"p": 12}),
+    SketchSpec("c", "cms", "tokens", {"l2sz": 14, "nh": 4}),
+    SketchSpec("b", "bloom", "tokens", {"l2sz": 20, "nh": 3}),
+    SketchSpec("m", "minhash", "tokens", {"k": 512}),
+]
+
+
+def test_byte_parity_with_dataframe_path(spark, fixtures):
+    d, _ = fixtures
+    path = os.path.join(d, "uniform")
+    via_files = build_sketches_from_parquet(spark, path, SPECS)
+    via_df = build_sketches(spark.read.parquet(path), SPECS)
+    for name in ("h", "c", "b", "m"):
+        assert via_files[name].to_bytes() == via_df[name].to_bytes()
+
+
+def test_quantile_sketch_estimate_parity(spark, fixtures):
+    """KLL state is batch-boundary dependent (compaction points), so the two
+    paths agree on estimates, not bytes."""
+    d, _ = fixtures
+    path = os.path.join(d, "uniform")
+    spec = [SketchSpec("k", "kll", "n_tok", {"k": 200})]
+    kf = build_sketches_from_parquet(spark, path, spec)["k"]
+    kd = build_sketches(spark.read.parquet(path), spec)["k"]
+    assert kf.n == kd.n
+    for q in (0.1, 0.5, 0.9):
+        # both within 3ε rank error of each other's value
+        assert abs(kf.rank(kd.quantile(q)) - q) <= 3 * kf.epsilon()
+
+
+def test_row_filter_hook(spark, fixtures):
+    """The pushdown hook: filter source=='web' per file must equal the
+    DataFrame path with the same predicate."""
+    import pyarrow.compute as pc
+
+    d, answers = fixtures
+    path = os.path.join(d, "uniform")
+
+    spec = [SketchSpec("h", "hll", "tokens", {"p": 12})]
+
+    def only_web(table):
+        return table.filter(pc.equal(table.column("source"), "web"))
+
+    via_files = build_sketches_from_parquet(
+        spark, path, spec, row_filter=only_web, extra_columns=("source",)
+    )["h"]
+    via_df = build_sketches(
+        spark.read.parquet(path).where(F.col("source") == "web"), spec
+    )["h"]
+    assert via_files.to_bytes() == via_df.to_bytes()
+
+
+def test_list_parquet_files(fixtures):
+    d, _ = fixtures
+    path = os.path.join(d, "uniform")
+    files = list_parquet_files(path)
+    assert len(files) == 16 and all(f.endswith(".parquet") for f in files)
+    assert list_parquet_files(files) == files
+
+
+def test_empty_dir_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="no parquet files"):
+        build_sketches_from_parquet(spark, str(tmp_path), SPECS)

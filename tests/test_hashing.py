@@ -1,0 +1,87 @@
+"""Hash kernels: bit-exactness vs scalar oracles (SURVEY.md §5 test class 1;
+reference analog: the hash is the reproducibility contract, hash.h:34-55)."""
+
+import numpy as np
+
+from sketch_spark.hashing import (
+    clz64,
+    hash_strings,
+    hash_tokens,
+    murfinhash,
+    seeded_hashes,
+    splitmix64,
+    wanghash,
+    wanghash_scalar,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def test_wanghash_matches_scalar_oracle():
+    batch = np.concatenate(
+        [
+            np.array([0, 1, 2, 137, 1337, 2**31, 2**63, 2**64 - 1], dtype=np.uint64),
+            RNG.integers(0, 2**64, 1000, dtype=np.uint64),
+        ]
+    )
+    got = wanghash(batch)
+    want = np.array([wanghash_scalar(int(x)) for x in batch], dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wanghash_is_injective_on_sample():
+    batch = RNG.integers(0, 2**64, 100_000, dtype=np.uint64)
+    assert len(np.unique(wanghash(np.unique(batch)))) == len(np.unique(batch))
+
+
+def test_murfinhash_known_property():
+    # murmur finalizer is bijective: distinct in -> distinct out
+    batch = np.arange(10_000, dtype=np.uint64)
+    assert len(np.unique(murfinhash(batch))) == len(batch)
+
+
+def test_clz64_exact_for_all_magnitudes():
+    vals = [0, 1, 2, 3, 2**31, 2**32 - 1, 2**63, 2**64 - 1] + [
+        int(x) for x in RNG.integers(0, 2**64, 500, dtype=np.uint64)
+    ]
+    batch = np.array(vals, dtype=np.uint64)
+    got = clz64(batch)
+    want = np.array([64 if v == 0 else 64 - int(v).bit_length() for v in vals], dtype=np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_splitmix64_deterministic_and_distinct():
+    a = splitmix64(1234, 64)
+    b = splitmix64(1234, 64)
+    np.testing.assert_array_equal(a, b)
+    assert len(np.unique(a)) == 64
+    assert not np.array_equal(a, splitmix64(1235, 64))
+
+
+def test_seeded_hashes_family_shape_and_independence():
+    seeds = splitmix64(7, 4)
+    x = RNG.integers(0, 2**63, 1000, dtype=np.int64)
+    h = seeded_hashes(x, seeds)
+    assert h.shape == (4, 1000)
+    # different seeds must give (essentially always) different hashes
+    assert (h[0] != h[1]).mean() > 0.999
+
+
+def test_hash_tokens_seed_changes_output():
+    x = np.arange(1000, dtype=np.int64)
+    assert not np.array_equal(hash_tokens(x, 0), hash_tokens(x, 99))
+    np.testing.assert_array_equal(hash_tokens(x, 0), wanghash(x.astype(np.uint64)))
+
+
+def test_hash_strings_deterministic_and_collision_free_on_sample():
+    words = np.array([f"tok{i}" for i in range(20_000)] + ["", "a", "ab", "ba"])
+    h1 = hash_strings(words)
+    h2 = hash_strings(words)
+    np.testing.assert_array_equal(h1, h2)
+    assert len(np.unique(h1)) == len(words)  # no collisions on this sample
+
+
+def test_hash_strings_order_is_elementwise():
+    a = hash_strings(np.array(["x", "y"]))
+    b = hash_strings(np.array(["y", "x"]))
+    assert a[0] == b[1] and a[1] == b[0]

@@ -1,0 +1,228 @@
+"""Training-data pipeline operators: dedup (exact / MinHash-LSH / SimHash /
+n-gram), text analysis, similarity search, multimodal plumbing — each
+checked against exact local oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from sketch_spark.pipeline.dedup import (
+    dedup_stats,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_lsh_neardups,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    signature_jaccard,
+    simhash_neardups,
+)
+from sketch_spark.pipeline.multimodal import extract_features, fake_decode, synth_media_df
+from sketch_spark.pipeline.similarity import ann_topk, brute_force_topk, cosine_topk_sql
+from sketch_spark.pipeline.text import (
+    with_fingerprint,
+    with_lang_scores,
+    with_quality_features,
+    with_token_count,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away today"
+NEAR = BASE.replace("lazy", "sleepy")  # one word changed → high Jaccard
+OTHER = "completely different content about spark clusters and parquet files here now"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id="d1", text=BASE),
+        Row(doc_id="d2", text=BASE),           # exact duplicate of d1
+        Row(doc_id="d3", text="  " + BASE + " "),  # whitespace-variant duplicate
+        Row(doc_id="d4", text=NEAR),            # near-duplicate
+        Row(doc_id="d5", text=OTHER),
+        Row(doc_id="d6", text=OTHER.upper()),   # case-variant duplicate of d5
+    ]
+    return spark.createDataFrame(rows)
+
+
+# ---------------- exact dedup -------------------------------------------------
+
+
+def test_dedup_stats(docs):
+    r = dedup_stats(docs).first()
+    # normalized duplicates: {d1,d2,d3}, {d4}, {d5,d6} → 3 distinct of 6
+    assert r["n_docs"] == 6 and r["n_distinct"] == 3 and r["n_dup_docs"] == 3
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = {r["doc_id"] for r in exact_dedup(docs).collect()}
+    assert kept == {"d1", "d4", "d5"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame([Row(doc_id="a", text="Hello  World"), Row(doc_id="b", text="hello world ")])
+    fps = [r["fingerprint"] for r in with_fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+
+
+# ---------------- MinHash-LSH near-dup ------------------------------------------
+
+
+def test_minhash_signatures_shape_and_determinism(docs):
+    sigs = minhash_signatures(docs, num_hashes=64)
+    rows = {r["doc_id"]: r["sig"] for r in sigs.collect()}
+    assert all(len(s) == 64 for s in rows.values())
+    rows2 = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, num_hashes=64).collect()}
+    assert rows == rows2  # deterministic
+    assert rows["d1"] == rows["d2"]  # identical text → identical signature
+
+
+def test_lsh_finds_near_duplicates(docs):
+    dups = minhash_lsh_neardups(docs, threshold=0.5, num_hashes=128, bands=32)
+    pairs = {(r["id_a"], r["id_b"]) for r in dups.collect()}
+    assert ("d1", "d2") in pairs          # exact dup always survives
+    assert ("d1", "d4") in pairs or ("d2", "d4") in pairs  # near-dup caught
+    assert not any("d5" in p and ("d1" in p or "d4" in p) for p in pairs)
+
+
+def test_signature_jaccard_estimates(docs):
+    sigs = minhash_signatures(docs, num_hashes=128)
+    pairs = lsh_candidate_pairs(sigs, bands=32, rows_per_band=4)
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in signature_jaccard(sigs, pairs).collect()}
+    assert est.get(("d1", "d2")) == pytest.approx(1.0)
+    if ("d1", "d4") in est:
+        # true shingle Jaccard of BASE vs NEAR is high but < 1
+        assert 0.4 < est[("d1", "d4")] < 1.0
+
+
+def test_simhash_buckets_identical_docs(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_neardups(docs).collect()}
+    assert ("d1", "d2") in pairs
+
+
+def test_ngram_jaccard_exact_value(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id="x", text="a b c d"), Row(doc_id="y", text="a b c e")]
+    )
+    pairs = spark.createDataFrame([Row(id_a="x", id_b="y")])
+    r = ngram_jaccard_pairs(df, pairs, n=2).first()
+    # bigrams x: {a b, b c, c d}; y: {a b, b c, c e} → J = 2/4
+    assert r["jaccard"] == pytest.approx(0.5)
+
+
+# ---------------- text analysis ------------------------------------------------
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([Row(text="one  two   three "), Row(text="")])
+    rows = with_token_count(df).collect()
+    assert rows[0]["n_tokens"] == 3 and rows[1]["n_tokens"] == 0
+
+
+def test_quality_features_hand_checked(spark):
+    df = spark.createDataFrame([Row(text="Ab1. cd!")])
+    r = with_quality_features(df).first()
+    assert r["n_chars_calc"] == 8
+    assert r["n_tokens"] == 2
+    assert r["punct_ratio"] == pytest.approx(2 / 8)  # '.' and '!'... '!' not in class
+    assert r["digit_ratio"] == pytest.approx(1 / 8)
+    assert r["space_ratio"] == pytest.approx(1 / 8)
+    assert r["upper_ratio"] == pytest.approx(1 / 8)
+    assert r["mean_token_len"] == pytest.approx((4 + 3) / 2)
+
+
+def test_lang_scores(spark):
+    df = spark.createDataFrame(
+        [
+            Row(text="the cat and the dog in the house"),
+            Row(text="der Hund und die Katze ist nicht da"),
+            Row(text="xyzzy plugh"),
+        ]
+    )
+    rows = with_lang_scores(df).collect()
+    assert rows[0]["lang_guess"] == "en"
+    assert rows[1]["lang_guess"] == "de"
+    assert rows[2]["lang_guess"] == "unk"
+
+
+# ---------------- similarity search ----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, sf_dir):
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _local_topk(emb_rows, qvecs, qids, k):
+    ids = np.array([r["vec_id"] for r in emb_rows])
+    m = np.array([r["embedding"] for r in emb_rows], dtype=np.float64)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    qn = qvecs / np.maximum(np.linalg.norm(qvecs, axis=1, keepdims=True), 1e-30)
+    sims = mn @ qn.T
+    out = {}
+    for j, qid in enumerate(qids):
+        # tie-break by vec_id ascending, like the Spark window
+        order = np.lexsort((ids, -sims[:, j]))[:k]
+        out[int(qid)] = [int(ids[i]) for i in order]
+    return out
+
+
+def test_brute_force_topk_matches_local_oracle(spark, emb_df):
+    rows = emb_df.collect()
+    qrows = [r for r in rows if r["vec_id"] < 3]
+    qvecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in qrows])
+    got = brute_force_topk(emb_df, qvecs, qids, k=5).collect()
+    want = _local_topk(rows, qvecs, qids, k=5)
+    for qid in want:
+        mine = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == qid]
+        assert mine == want[qid]
+
+
+def test_self_is_top1(spark, emb_df):
+    r0 = emb_df.where(F.col("vec_id") == 0).first()
+    q = np.array([r0["embedding"]], dtype=np.float64)
+    top = brute_force_topk(emb_df, q, np.array([0]), k=1).first()
+    assert top["vec_id"] == 0 and top["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cosine_topk_sql_agrees_with_arrow_path(spark, emb_df):
+    qdf = (
+        emb_df.where(F.col("vec_id") < 2)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    sql_rows = {(r["query_id"], r["rank"]): r["vec_id"] for r in cosine_topk_sql(emb_df, qdf, k=5).collect()}
+    qrows = emb_df.where(F.col("vec_id") < 2).collect()
+    qvecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in qrows])
+    arrow_rows = {(r["query_id"], r["rank"]): r["vec_id"] for r in brute_force_topk(emb_df, qvecs, qids, k=5).collect()}
+    assert sql_rows == arrow_rows
+
+
+def test_ann_topk_contains_self(spark, emb_df):
+    r0 = emb_df.where(F.col("vec_id") == 1).first()
+    q = np.array([r0["embedding"]], dtype=np.float64)
+    got = ann_topk(emb_df, q, np.array([1]), k=3, n_planes=8).collect()
+    assert any(r["vec_id"] == 1 and r["rank"] == 1 for r in got)
+
+
+# ---------------- multimodal plumbing ----------------------------------------------
+
+
+def test_fake_decode_deterministic():
+    payload = bytes(range(64))
+    a, b = fake_decode(payload, 8), fake_decode(payload, 8)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (8,) and a.dtype == np.float32
+    assert fake_decode(b"", 8).tolist() == [0.0] * 8
+
+
+def test_extract_features_plumbing(spark):
+    media = synth_media_df(spark, n=32)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 32
+    for r in feats:
+        assert len(r["feature"]) == 8 and r["ok"] and r["n_bytes"] > 0
+    # deterministic across runs
+    feats2 = extract_features(synth_media_df(spark, n=32), dim=8).collect()
+    assert [r["feature"] for r in feats] == [r["feature"] for r in feats2]

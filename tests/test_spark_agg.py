@@ -1,0 +1,208 @@
+"""End-to-end Spark aggregation over the north-rule token table:
+mapInArrow partial sketches → tree merge → estimates vs exact answers.
+
+The strongest assertion available: because exact-state sketch merges are
+order-free monoids, the distributed state must be *byte-identical* to a
+local single-pass sketch over all tokens (SURVEY.md §5 item 3 lifted to the
+cluster path). Also audits the input_hint per-row invariant
+(n_tok == len(tokens))."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from sketch_spark.sketches.base import from_bytes, make_sketch
+from sketch_spark.spark.agg import (
+    SketchSpec,
+    build_sketches,
+    estimate_udf,
+    partition_states,
+    quantile_udf,
+    sketch_by_key,
+    tree_merge_states,
+)
+
+
+@pytest.fixture(scope="module")
+def uniform_df(spark, fixtures):
+    d, _ = fixtures
+    return spark.read.parquet(os.path.join(d, "uniform"))
+
+
+def _all_tokens(path: str) -> np.ndarray:
+    """Local oracle: every token value in the parquet dir, in file order."""
+    files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    parts = [
+        pq.read_table(os.path.join(path, f), columns=["tokens"])
+        .column("tokens").combine_chunks()
+        for f in files
+    ]
+    return np.concatenate([p.flatten().to_numpy(zero_copy_only=False) for p in parts])
+
+
+def test_token_table_row_invariant(uniform_df):
+    """input_hint invariant: n_tok equals the token-array length on every row."""
+    bad = uniform_df.where(F.col("n_tok") != F.size("tokens")).count()
+    assert bad == 0
+
+
+def test_hll_over_tokens_matches_local_single_pass_byte_identical(
+    spark, fixtures, uniform_df
+):
+    d, answers = fixtures
+    sk = build_sketches(uniform_df, [SketchSpec("h", "hll", "tokens", {"p": 14})])["h"]
+    local = make_sketch("hll", p=14).update(_all_tokens(os.path.join(d, "uniform")))
+    assert sk.to_bytes() == local.to_bytes()
+    exact = answers["uniform"]["distinct"]
+    assert abs(sk.estimate() - exact) <= 3 * sk.relative_error() * exact
+
+
+def test_repartition_invariance(spark, uniform_df):
+    """Any physical partitioning must produce the same state (monoid law on
+    the cluster path)."""
+    spec = [SketchSpec("h", "hll", "tokens", {"p": 12})]
+    a = build_sketches(uniform_df, spec)["h"]
+    b = build_sketches(uniform_df.repartition(7), spec)["h"]
+    assert a.to_bytes() == b.to_bytes()
+
+
+def test_multi_sketch_single_pass(spark, fixtures, uniform_df):
+    """One scan feeds all sketch kinds at once (the flagship job shape)."""
+    d, answers = fixtures
+    specs = [
+        SketchSpec("hll", "hll", "tokens", {"p": 14}),
+        SketchSpec("cms", "cms", "tokens", {"l2sz": 16, "nh": 4}),
+        SketchSpec("bloom", "bloom", "tokens", {"l2sz": 22, "nh": 3}),
+        SketchSpec("mh", "minhash", "tokens", {"k": 1024}),
+        SketchSpec("kll", "kll", "n_tok", {"k": 200}),
+    ]
+    sk = build_sketches(uniform_df, specs)
+    exact = answers["uniform"]["distinct"]
+    n_tokens = answers["uniform"]["n_tokens"]
+    assert abs(sk["hll"].estimate() - exact) <= 3 * sk["hll"].relative_error() * exact
+    assert sk["cms"].total() == n_tokens
+    assert abs(sk["mh"].cardinality_estimate() - exact) / exact < 0.1
+    # KLL over n_tok: its median must be within rank-3ε of the exact ranks
+    med = sk["kll"].quantile(0.5)
+    n_docs = uniform_df.count()
+    rank = uniform_df.where(F.col("n_tok") <= med).count() / n_docs
+    assert abs(rank - 0.5) <= 3 * sk["kll"].epsilon()
+
+
+def test_cms_heavy_hitter_through_spark(spark, fixtures):
+    d, answers = fixtures
+    df = spark.read.parquet(os.path.join(d, "heavy137"))
+    sk = build_sketches(df, [SketchSpec("c", "cms", "tokens", {"l2sz": 18, "nh": 4})])["c"]
+    true_cnt = answers["heavy137"]["count_137"]
+    est = int(sk.query(np.array([137]))[0])
+    assert est >= true_cnt
+    assert est - true_cnt <= 3 * sk.epsilon() * sk.total() + 1
+
+
+def test_bloom_fpr_through_spark(spark, fixtures):
+    """F1e disjoint corpus: insert source A tokens, probe B tokens
+    (bftest.cpp pattern on the cluster path)."""
+    d, answers = fixtures
+    df = spark.read.parquet(os.path.join(d, "disjoint"))
+    a = df.where(F.col("source") == "A")
+    sk = build_sketches(a, [SketchSpec("b", "bloom", "tokens", {"l2sz": 24, "nh": 4})])["b"]
+    b_tokens = np.unique(
+        np.concatenate(
+            [np.asarray(r["tokens"]) for r in df.where(F.col("source") == "B").select("tokens").collect()]
+        )
+    )
+    b_only = b_tokens[b_tokens >= 10_000_000]  # strictly absent from A's range
+    measured_fpr = float(sk.may_contain(b_only).mean())
+    assert measured_fpr <= 3 * sk.est_fpr() + 1e-3
+
+
+def test_sketch_by_key_groups_and_jaccard(spark, fixtures):
+    """F1d overlap corpus: per-source MinHash sketches via the grouped
+    two-phase path; Jaccard ≈ the known true value."""
+    d, answers = fixtures
+    df = spark.read.parquet(os.path.join(d, "overlap"))
+    states = sketch_by_key(df, "source", [SketchSpec("m", "minhash", "tokens", {"k": 1024})])
+    rows = {r["source"]: r["state"] for r in states.collect()}
+    assert set(rows) == {"A", "B"}
+    ma, mb = from_bytes(bytes(rows["A"])), from_bytes(bytes(rows["B"]))
+    true_ji = answers["overlap"]["true_jaccard"]
+    assert abs(ma.jaccard_index(mb) - true_ji) / true_ji < 0.1
+
+
+def test_sketch_by_key_state_equals_local_per_group(spark, fixtures):
+    """Grouped path must produce the same bytes as a local per-group build."""
+    d, _ = fixtures
+    path = os.path.join(d, "overlap")
+    df = spark.read.parquet(path)
+    states = sketch_by_key(df, "source", [SketchSpec("h", "hll", "tokens", {"p": 12})])
+    got = {r["source"]: bytes(r["state"]) for r in states.collect()}
+    # local oracle per group
+    files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    by_src = {"A": [], "B": []}
+    for f in files:
+        t = pq.read_table(os.path.join(path, f), columns=["source", "tokens"])
+        src = np.asarray(t.column("source"))
+        toks = t.column("tokens").combine_chunks()
+        offs = np.asarray(toks.offsets)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        for s in ("A", "B"):
+            mask = src == s
+            if mask.any():
+                idx = np.nonzero(mask)[0]
+                by_src[s].extend(
+                    flat[offs[i]: offs[i + 1]] for i in idx
+                )
+    for s in ("A", "B"):
+        local = make_sketch("hll", p=12).update(np.concatenate(by_src[s]))
+        assert got[s] == local.to_bytes()
+
+
+def test_partition_states_metrics(spark, uniform_df):
+    """Per-partition lineage/metrics rows exist and account for all rows."""
+    states = partition_states(uniform_df, [SketchSpec("h", "hll", "tokens", {"p": 10})])
+    pdf = states.toPandas()
+    assert (pdf["name"] == "h").all()
+    assert pdf["n_rows"].sum() == uniform_df.count()
+    assert (pdf["wall_ms"] >= 0).all()
+    assert pdf["n_values"].sum() == uniform_df.select(F.sum(F.size("tokens"))).first()[0]
+
+
+def test_tree_merge_matches_flat_merge(spark, uniform_df):
+    states = partition_states(uniform_df, [SketchSpec("h", "hll", "tokens", {"p": 10})])
+    tree = tree_merge_states(states, fanout=2)["h"]
+    blobs = [bytes(r["state"]) for r in states.collect()]
+    flat = from_bytes(blobs[0])
+    for b in blobs[1:]:
+        flat.merge(from_bytes(b))
+    assert tree.to_bytes() == flat.to_bytes()
+
+
+def test_estimate_and_quantile_udfs(spark, fixtures):
+    d, answers = fixtures
+    df = spark.read.parquet(os.path.join(d, "uniform"))
+    states = sketch_by_key(df, "source", [
+        SketchSpec("h", "hll", "tokens", {"p": 14}),
+        SketchSpec("k", "kll", "n_tok", {"k": 200}),
+    ])
+    est = (
+        states.where(F.col("name") == "h")
+        .withColumn("est", estimate_udf()(F.col("state")))
+        .select("source", "est")
+    )
+    exact = df.select("source", F.explode("tokens").alias("t")).groupBy("source").agg(
+        F.countDistinct("t").alias("exact")
+    )
+    joined = est.join(exact, "source").collect()
+    assert len(joined) == 4
+    for r in joined:
+        assert abs(r["est"] - r["exact"]) <= 3 * (1.03896 / np.sqrt(1 << 14)) * r["exact"]
+    qrows = (
+        states.where(F.col("name") == "k")
+        .withColumn("qs", quantile_udf([0.5])(F.col("state")))
+        .collect()
+    )
+    for r in qrows:
+        assert r["qs"][0] > 0

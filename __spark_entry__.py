@@ -199,6 +199,88 @@ def q_minhash_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_topk_parts_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries top-10 heavy hitters over l_partkey. Capacity m=8192
+    exceeds the sf0.01 distinct-part count, so counts are exact and the
+    oracle is a plain GROUP BY ... LIMIT 10 (sketch_spark.sketches.topk;
+    reference top-k analog hk.h:267-460 whose own merge is broken —
+    SURVEY.md §2.2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sk = build_sketches(li, [SketchSpec("t", "topk", "l_partkey", {"m": 8192})])["t"]
+    rows = [Row(l_partkey=int(k), est_cnt=int(c)) for k, c in sk.topk(10)]
+    return spark.createDataFrame(rows)
+
+
+def q_multiplicity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full user-activity multiplicity histogram (how many users produced
+    exactly i events) via SampledMultiplicity at r=0 — the ntcard capability
+    (reference mult.h:175-330) in exact mode, so the oracle is the literal
+    double GROUP BY."""
+    ev = _t(spark, sf_dir, "events")
+    sk = build_sketches(ev, [SketchSpec("m", "multiplicity", "user_id", {"r": 0})])["m"]
+    h = sk.histogram(100_000)
+    rows = [
+        Row(multiplicity=int(i), n_users=int(h[i]))
+        for i in range(1, len(h))
+        if h[i] > 0
+    ]
+    return spark.createDataFrame(rows).orderBy("multiplicity")
+
+
+def q_minhash_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs word-set Jaccard across every documents source via per-source
+    bottom-k MinHash states + the pairwise matrix operator (reference
+    python-binding parity: jaccard_matrix, python/pysketch.h:23-60).
+    k=8192 exceeds each source's vocabulary, so the sketch values are exact
+    and equal the SQL set Jaccard."""
+    from sketch_spark.spark.matrix import pairwise_similarity
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("w")
+    )
+    states = sketch_by_key(words, "source", [SketchSpec("m", "minhash", "w", {"k": 8192})])
+    out = pairwise_similarity(states, "source", "jaccard")
+    return out.select(
+        "key_a", "key_b", F.round(F.col("value"), 6).alias("jaccard6")
+    ).orderBy("key_a", "key_b")
+
+
+def q_streaming_hll_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming build (availableNow over the lineitem file) must
+    byte-match the batch build and hit the HLL bound — the distributed
+    restatement of the reference's streaming-mode HLL (hll.h:1175-1269)."""
+    import shutil
+    import tempfile
+
+    from sketch_spark.streaming import stream_sketches
+
+    work = tempfile.mkdtemp(prefix="sketch_stream_")
+    try:
+        src_dir = os.path.join(work, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            os.path.join(src_dir, "lineitem.parquet"),
+        )
+        specs = [SketchSpec("h", "hll", "l_partkey", {"p": 14})]
+        streamed = stream_sketches(spark, src_dir, specs, os.path.join(work, "wk"))["h"]
+        batch = build_sketches(_t(spark, sf_dir, "lineitem"), specs)["h"]
+        exact = _t(spark, sf_dir, "lineitem").select(F.countDistinct("l_partkey")).first()[0]
+        ok = abs(streamed.estimate() - exact) <= 3 * streamed.relative_error() * exact
+        return spark.createDataFrame(
+            [
+                Row(
+                    exact_distinct=int(exact),
+                    stream_matches_batch=bool(streamed.to_bytes() == batch.to_bytes()),
+                    within_bound=bool(ok),
+                )
+            ]
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
@@ -262,6 +344,76 @@ def q_word_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID over documents, counted per guess
+    (sketch_spark.pipeline.text.with_lang_scores). The oracle re-derives the
+    same argmax in SQL (ties favor the earlier language in en,de,fr,es)."""
+    from sketch_spark.pipeline.text import with_lang_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        with_lang_scores(docs)
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_guess")
+    )
+
+
+def q_dedup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup winners: min doc_id per normalized-text group
+    (sketch_spark.pipeline.dedup.exact_dedup)."""
+    from sketch_spark.pipeline.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id").orderBy("doc_id")
+
+
+def q_quality_filter_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate pass counts per source (punct ≤ 10%, digits ≤ 20%,
+    ≥ 5 tokens) — the LLM-corpus filter shape, fully Catalyst-planned
+    (sketch_spark.pipeline.text.with_quality_features)."""
+    from sketch_spark.pipeline.text import with_quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = with_quality_features(docs)
+    passed = (
+        (F.col("punct_ratio") <= 0.1)
+        & (F.col("digit_ratio") <= 0.2)
+        & (F.col("n_tokens") >= 5)
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(passed.cast("long")).alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_ann_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN recall@5 against brute force for 3 query vectors
+    (sketch_spark.pipeline.similarity.ann_topk). Returns per-query recall
+    booleans (ANN must find ≥ 3 of the true top-5); oracle: constants."""
+    from sketch_spark.pipeline.similarity import ann_topk, brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.where(F.col("vec_id") < 3).collect()
+    qvecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in qrows])
+    truth: dict[int, set] = {}
+    for r in brute_force_topk(emb, qvecs, qids, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got: dict[int, set] = {}
+    for r in ann_topk(emb, qvecs, qids, k=5, n_planes=6, n_tables=12).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rows = [
+        Row(query_id=int(q), recall_ok=bool(len(truth[q] & got.get(q, set())) >= 3))
+        for q in sorted(truth)
+    ]
+    return spark.createDataFrame(rows)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 3 vectors (mapInArrow matmul
     path); oracle recomputes with DuckDB list_cosine_similarity. Cosine
@@ -287,10 +439,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_price_quantiles": q_kll_price_quantiles,
         "tdigest_event_values": q_tdigest_event_values,
         "minhash_jaccard_sources": q_minhash_jaccard_sources,
+        "topk_parts_mg": q_topk_parts_mg,
+        "multiplicity_events": q_multiplicity_events,
+        "minhash_jaccard_matrix": q_minhash_jaccard_matrix,
+        "streaming_hll_parts": q_streaming_hll_parts,
         "dedup_exact_docs": q_dedup_exact_docs,
         "token_count_by_source": q_token_count_by_source,
         "text_quality_by_source": q_text_quality_by_source,
         "word_jaccard_sources": q_word_jaccard_sources,
+        "lang_id_counts": q_lang_id_counts,
+        "dedup_keep_docs": q_dedup_keep_docs,
+        "quality_filter_by_source": q_quality_filter_by_source,
+        "ann_topk_recall": q_ann_topk_recall,
         "cosine_topk": q_cosine_topk,
     }
 
@@ -346,6 +506,39 @@ def oracle_sql() -> dict[str, str]:
             FROM counts
             """
         ),
+        "topk_parts_mg": (
+            "SELECT l_partkey, count(*) AS est_cnt FROM lineitem "
+            "GROUP BY l_partkey ORDER BY est_cnt DESC, l_partkey LIMIT 10"
+        ),
+        "multiplicity_events": (
+            "SELECT CAST(cnt AS BIGINT) AS multiplicity, CAST(count(*) AS BIGINT) AS n_users "
+            "FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id) "
+            "GROUP BY cnt ORDER BY multiplicity"
+        ),
+        "minhash_jaccard_matrix": (
+            r"""
+            WITH words AS (
+              SELECT DISTINCT d.source, u.w
+              FROM documents d,
+                   unnest(list_filter(string_split_regex(d.text, '\s+'), x -> x <> '')) AS u(w)
+            ), sizes AS (
+              SELECT source, count(*) AS n FROM words GROUP BY source
+            ), inter AS (
+              SELECT a.source AS sa, b.source AS sb, count(*) AS i
+              FROM words a JOIN words b ON a.w = b.w AND a.source < b.source
+              GROUP BY a.source, b.source
+            )
+            SELECT x.source AS key_a, y.source AS key_b,
+                   round(CAST(coalesce(i.i, 0) AS DOUBLE) / (x.n + y.n - coalesce(i.i, 0)), 6) AS jaccard6
+            FROM sizes x JOIN sizes y ON x.source < y.source
+            LEFT JOIN inter i ON i.sa = x.source AND i.sb = y.source
+            ORDER BY key_a, key_b
+            """
+        ),
+        "streaming_hll_parts": (
+            "SELECT count(DISTINCT l_partkey) AS exact_distinct, "
+            "TRUE AS stream_matches_batch, TRUE AS within_bound FROM lineitem"
+        ),
         "dedup_exact_docs": (
             "SELECT count(*) AS n_docs, "
             "count(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS n_distinct, "
@@ -387,6 +580,58 @@ def oracle_sql() -> dict[str, str]:
                      SELECT w FROM words WHERE source = (SELECT min(source) FROM srcs)
                      UNION SELECT w FROM words WHERE source = (SELECT max(source) FROM srcs))) AS BIGINT) AS n_union
             """
+        ),
+        "lang_id_counts": (
+            r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ), scores AS (
+              SELECT doc_id,
+                CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN ('the','and','of','to','in','is','that','it','was','for'))) AS DOUBLE)/len(t) ELSE 0 END AS s_en,
+                CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS DOUBLE)/len(t) ELSE 0 END AS s_de,
+                CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS DOUBLE)/len(t) ELSE 0 END AS s_fr,
+                CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN ('el','la','los','las','es','un','una','en','por','que'))) AS DOUBLE)/len(t) ELSE 0 END AS s_es
+              FROM toks
+            ), guesses AS (
+              SELECT CASE
+                WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unk'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS lang_guess
+              FROM scores
+            )
+            SELECT lang_guess, CAST(count(*) AS BIGINT) AS n_docs
+            FROM guesses GROUP BY lang_guess ORDER BY lang_guess
+            """
+        ),
+        "dedup_keep_docs": (
+            r"SELECT min(doc_id) AS doc_id FROM documents "
+            r"GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g')) ORDER BY doc_id"
+        ),
+        "quality_filter_by_source": (
+            r"""
+            WITH feats AS (
+              SELECT source,
+                     CASE WHEN length(text) > 0 THEN
+                       CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE) / length(text)
+                     ELSE 0 END AS punct_ratio,
+                     CASE WHEN length(text) > 0 THEN
+                       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text)
+                     ELSE 0 END AS digit_ratio,
+                     len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+              FROM documents
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN punct_ratio <= 0.1 AND digit_ratio <= 0.2 AND n_tokens >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+            FROM feats GROUP BY source ORDER BY source
+            """
+        ),
+        "ann_topk_recall": (
+            "SELECT CAST(query_id AS BIGINT) AS query_id, TRUE AS recall_ok "
+            "FROM (VALUES (0), (1), (2)) AS t(query_id) ORDER BY query_id"
         ),
         "cosine_topk": (
             """

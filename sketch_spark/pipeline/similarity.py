@@ -104,16 +104,34 @@ def cosine_topk_sql(
     )
 
 
+def _plane_sets(d: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    """(tables, d, planes) float32 — one independent hyperplane set per table."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, d, n_planes)).astype(np.float32)
+
+
+def _bucket_ids(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, tables) int64 bucket per row per table: sign bits of projections."""
+    n_tables, _, n_planes = planes.shape
+    out = np.empty((m.shape[0], n_tables), dtype=np.int64)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    for t in range(n_tables):
+        bits = (m @ planes[t]) > 0
+        out[:, t] = bits.astype(np.int64) @ weights
+    return out
+
+
 def lsh_bucket_embeddings(
-    df: DataFrame, n_planes: int = 16, seed: int = 42,
+    df: DataFrame, n_planes: int = 16, n_tables: int = 1, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Random-hyperplane LSH: bucket = sign bits of `n_planes` projections.
+    """Multi-table random-hyperplane LSH: per table, bucket = sign bits of
+    `n_planes` projections → (id, table, bucket) rows.
 
-    Same-bucket rows are cosine-similar with high probability; ANN = score
-    within buckets only (join on bucket). The planes live in the closure —
-    a few KB broadcast, no shuffle added to compute buckets.
-    """
+    Same-bucket rows are cosine-similar with high probability; multiple
+    independent tables trade candidate volume for recall (standard LSH
+    amplification: P(candidate) = 1 - (1 - p^planes)^tables). The planes
+    live in the closure — a few KB broadcast, no shuffle added."""
 
     def bucketize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         planes = None
@@ -123,30 +141,46 @@ def lsh_bucket_embeddings(
             if m.shape[0] == 0:
                 continue
             if planes is None:
-                rng = np.random.default_rng(seed)
-                planes = rng.standard_normal((m.shape[1], n_planes)).astype(np.float32)
-            bits = (m @ planes) > 0  # (n, planes)
-            bucket = (bits.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+                planes = _plane_sets(m.shape[1], n_planes, n_tables, seed)
+            buckets = _bucket_ids(m, planes)  # (n, tables)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, pa.int64()), pa.array(bucket, pa.int64())],
-                names=[id_col, "bucket"],
+                [
+                    pa.array(np.repeat(ids, n_tables), pa.int64()),
+                    pa.array(np.tile(np.arange(n_tables, dtype=np.int64), len(ids)), pa.int64()),
+                    pa.array(buckets.ravel(), pa.int64()),
+                ],
+                names=[id_col, "table", "bucket"],
             )
 
-    buckets = df.select(id_col, vec_col).mapInArrow(bucketize, f"{id_col} long, bucket long")
-    return df.join(buckets, id_col)
+    return df.select(id_col, vec_col).mapInArrow(
+        bucketize, f"{id_col} long, table long, bucket long"
+    )
 
 
 def ann_topk(
     df: DataFrame, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
-    n_planes: int = 12, seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 8, n_tables: int = 8, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """LSH-bucketed ANN: score only rows whose bucket matches a query bucket."""
+    """Multi-table LSH ANN: candidates = rows sharing a (table, bucket) with
+    any query in any table (the OR-amplified LSH construction); exact cosine
+    top-k is then computed over candidates only. At scale the bucket match
+    is a semi-join on a compact two-int key — never a full cross product."""
     qm = np.asarray(queries, dtype=np.float32)
-    rng = np.random.default_rng(seed)
-    d = qm.shape[1]
-    planes = rng.standard_normal((d, n_planes)).astype(np.float32)
-    qbits = (qm @ planes) > 0
-    qbuckets = set(((qbits.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)).tolist())
-    bucketed = lsh_bucket_embeddings(df, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col)
-    cand = bucketed.where(F.col("bucket").isin(list(qbuckets)))
+    planes = _plane_sets(qm.shape[1], n_planes, n_tables, seed)
+    qbuckets = _bucket_ids(qm, planes)  # (q, tables)
+    wanted = {(int(t), int(qbuckets[j, t])) for j in range(qm.shape[0]) for t in range(n_tables)}
+    buckets = lsh_bucket_embeddings(
+        df, n_planes=n_planes, n_tables=n_tables, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    spark = df.sparkSession
+    wanted_df = spark.createDataFrame(
+        [(t, b) for t, b in sorted(wanted)], "table long, bucket long"
+    )
+    cand_ids = (
+        buckets.join(F.broadcast(wanted_df), ["table", "bucket"])
+        .select(id_col)
+        .distinct()
+    )
+    cand = df.join(cand_ids, id_col)
     return brute_force_topk(cand, qm, query_ids, k=k, id_col=id_col, vec_col=vec_col)

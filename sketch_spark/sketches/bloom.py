@@ -21,7 +21,7 @@ from typing import Any
 
 import numpy as np
 
-from sketch_spark.hashing import seeded_hashes, splitmix64
+from sketch_spark.hashing import CHUNK, seeded_hashes, splitmix64
 from sketch_spark.sketches.base import Sketch, register
 
 _U64 = np.uint64
@@ -58,11 +58,13 @@ class BloomFilter(Sketch):
         return (hs & _U64(self.m - 1)).astype(np.int64)
 
     def update(self, values: np.ndarray) -> "BloomFilter":
-        if len(values) == 0:
-            return self
-        idx = self._indices(values).ravel()
-        word, bit = idx >> 6, idx & 63
-        np.bitwise_or.at(self.words, word, _U64(1) << bit.astype(np.uint64))
+        v = np.asarray(values)
+        # chunked: hash temporaries stay cache-resident; OR-scatter is a
+        # monoid so chunking cannot change the bit array
+        for i in range(0, len(v), CHUNK):
+            idx = self._indices(v[i : i + CHUNK]).ravel()
+            word, bit = idx >> 6, idx & 63
+            np.bitwise_or.at(self.words, word, _U64(1) << bit.astype(np.uint64))
         return self
 
     def merge(self, other: "BloomFilter") -> "BloomFilter":

@@ -26,7 +26,7 @@ from typing import Any
 
 import numpy as np
 
-from sketch_spark.hashing import seeded_hashes, splitmix64
+from sketch_spark.hashing import CHUNK, seeded_hashes, splitmix64
 from sketch_spark.sketches.base import Sketch, register
 
 _U64 = np.uint64
@@ -49,6 +49,19 @@ class _TableSketch(Sketch):
 
     def _row_hashes(self, values: np.ndarray) -> np.ndarray:
         return seeded_hashes(np.asarray(values), self._seeds)  # (nh, n)
+
+    def _row_indices(self, values: np.ndarray) -> np.ndarray:
+        """(nh, n) int32 table indices, computed in cache-sized chunks so the
+        uint64 hash temporaries never leave L2/L3 (full-width bincount per
+        row still happens once per batch — chunking the *accumulation* would
+        multiply full-table passes, so only the hashing is chunked)."""
+        v = np.asarray(values)
+        idx = np.empty((self.nh, len(v)), dtype=np.int32)
+        mask = _U64(self.w - 1)
+        for i in range(0, len(v), CHUNK):
+            hs = seeded_hashes(v[i : i + CHUNK], self._seeds)
+            idx[:, i : i + hs.shape[1]] = (hs & mask).astype(np.int32)
+        return idx
 
     def _params(self) -> dict[str, Any]:
         return {"l2sz": self.l2sz, "nh": self.nh, "seed": self.seed}
@@ -95,8 +108,7 @@ class CountMinSketch(_TableSketch):
         """Absorb a batch; optional per-item counts (weighted update)."""
         if len(values) == 0:
             return self
-        hs = self._row_hashes(values)
-        idx = (hs & _U64(self.w - 1)).astype(np.int64)
+        idx = self._row_indices(values)
         if counts is None:
             for i in range(self.nh):
                 # bincount = one vectorized pass per row (beats np.add.at)
@@ -137,11 +149,18 @@ class CountSketch(_TableSketch):
     kind = "countsketch"
 
     def _idx_sign(self, values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        hs = self._row_hashes(values)
-        idx = (hs & _U64(self.w - 1)).astype(np.int64)
-        # sign from a high hash bit, disjoint from index bits (ccm.h:471-495
-        # draws it from the hash beyond the index mask)
-        sign = (((hs >> _U64(63)) & _U64(1)).astype(np.int64) << 1) - 1  # ±1
+        v = np.asarray(values)
+        idx = np.empty((self.nh, len(v)), dtype=np.int32)
+        sign = np.empty((self.nh, len(v)), dtype=np.int8)
+        mask = _U64(self.w - 1)
+        for i in range(0, len(v), CHUNK):
+            hs = seeded_hashes(v[i : i + CHUNK], self._seeds)
+            idx[:, i : i + hs.shape[1]] = (hs & mask).astype(np.int32)
+            # sign from a high hash bit, disjoint from index bits
+            # (ccm.h:471-495 draws it from the hash beyond the index mask)
+            sign[:, i : i + hs.shape[1]] = (
+                ((hs >> _U64(63)).astype(np.int8) << 1) - 1
+            )  # ±1
         return idx, sign
 
     def update(self, values: np.ndarray, counts: np.ndarray | None = None) -> "CountSketch":

@@ -26,7 +26,7 @@ from typing import Any
 
 import numpy as np
 
-from sketch_spark.hashing import clz64, hash_tokens
+from sketch_spark.hashing import CHUNK, clz64, hash_tokens
 from sketch_spark.sketches.base import Sketch, register
 
 _U64 = np.uint64
@@ -124,8 +124,13 @@ class HyperLogLog(Sketch):
 
     # -- monoid ops ---------------------------------------------------------
     def update(self, values: np.ndarray) -> "HyperLogLog":
-        """Absorb raw item ids (hashed internally with WangHash ^ seed)."""
-        return self.update_hashed(hash_tokens(values, self.seed))
+        """Absorb raw item ids (hashed internally with WangHash ^ seed).
+        Chunked so hash temporaries stay cache-resident; registers are a
+        max-monoid so chunking cannot change the state."""
+        v = np.asarray(values)
+        for i in range(0, len(v), CHUNK):
+            self.update_hashed(hash_tokens(v[i : i + CHUNK], self.seed))
+        return self
 
     def update_hashed(self, hashed: np.ndarray) -> "HyperLogLog":
         if len(hashed) == 0:

@@ -27,7 +27,7 @@ from typing import Any
 
 import numpy as np
 
-from sketch_spark.hashing import hash_tokens
+from sketch_spark.hashing import CHUNK, hash_tokens
 from sketch_spark.sketches.base import Sketch, register
 
 _MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -46,9 +46,12 @@ class BottomKMinHash(Sketch):
 
     # -- monoid ops ----------------------------------------------------------
     def update(self, values: np.ndarray) -> "BottomKMinHash":
-        if len(values) == 0:
-            return self
-        return self.update_hashed(hash_tokens(values, self.seed))
+        v = np.asarray(values)
+        # chunked: caches hash temporaries AND makes the kth-min prune in
+        # update_hashed kick in within the batch
+        for i in range(0, len(v), CHUNK):
+            self.update_hashed(hash_tokens(v[i : i + CHUNK], self.seed))
+        return self
 
     def update_hashed(self, hashed: np.ndarray) -> "BottomKMinHash":
         if len(hashed) == 0:

@@ -115,17 +115,21 @@ def build_sketches_from_parquet(
     if not files:
         raise ValueError(f"no parquet files under {path_or_files!r}")
     spec_list = [(s.name, s.kind, s.col, dict(s.params), s.is_quantile) for s in specs]
-    # one task per file while files are scarce; multiple files per task once
-    # files ≫ cores so each task pre-merges locally and ships ONE state set
-    n_slices = min(len(files), spark.sparkContext.defaultParallelism * 4)
+    # tasks sized to the cluster: ~1 slice per core (each task pre-merges its
+    # files locally and ships ONE state set), but never fewer than files/8 so
+    # a straggler file can't dominate a slice on a big cluster
+    par = spark.sparkContext.defaultParallelism
+    n_slices = min(len(files), max(par, len(files) // 8))
     rdd = spark.sparkContext.parallelize(files, n_slices).mapPartitions(
         lambda part: _build_states_for_files(part, spec_list, row_filter, extra_columns)
     )
     # log-fanout tree of partition-local folds (coalesce = no shuffle), then a
     # driver-side object fold over the last ≤ fanout states. Each state is
     # deserialized once per level — the correct version of the reference's
-    # disabled binomial tree (mpiParallelIO.cpp:301-345).
-    fanout = 32
+    # disabled binomial tree (mpiParallelIO.cpp:301-345). Fanout 8 keeps the
+    # serial driver fold tiny (≤ 8 states) while the heavy fold levels run as
+    # parallel tasks.
+    fanout = 8
     nparts = n_slices
     while nparts > fanout:
         nparts = max(fanout, nparts // fanout)

@@ -1,0 +1,103 @@
+"""Pairwise similarity matrices over grouped states (reference python/
+pysketch.h matrix-API parity) and Structured Streaming sketch builds
+(batch-parity + exactly-once accumulation)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketch_spark.spark.agg import SketchSpec, build_sketches, sketch_by_key
+from sketch_spark.spark.matrix import pairwise_df, pairwise_similarity
+from sketch_spark.streaming import StreamingSketchBuild, stream_sketches
+
+
+@pytest.fixture(scope="module")
+def overlap_states(spark, fixtures):
+    d, _ = fixtures
+    df = spark.read.parquet(os.path.join(d, "overlap"))
+    return sketch_by_key(df, "source", [SketchSpec("h", "hll", "tokens", {"p": 14})])
+
+
+def test_pairwise_similarity_jaccard(spark, fixtures, overlap_states):
+    _, answers = fixtures
+    rows = pairwise_similarity(overlap_states, "source", "jaccard").collect()
+    assert len(rows) == 1  # two sources → one pair
+    r = rows[0]
+    assert (r["key_a"], r["key_b"]) == ("A", "B")
+    true_ji = answers["overlap"]["true_jaccard"]
+    assert abs(r["value"] - true_ji) <= 0.05
+
+
+def test_pairwise_similarity_metrics(spark, fixtures, overlap_states):
+    _, answers = fixtures
+    u = pairwise_similarity(overlap_states, "source", "union_size").first()["value"]
+    i = pairwise_similarity(overlap_states, "source", "intersection_size").first()["value"]
+    assert abs(u - answers["overlap"]["union"]) / answers["overlap"]["union"] < 0.05
+    assert abs(i - answers["overlap"]["intersection"]) / answers["overlap"]["intersection"] < 0.2
+
+
+def test_pairwise_df_agrees_with_driver_loop(spark, fixtures):
+    d, _ = fixtures
+    df = spark.read.parquet(os.path.join(d, "uniform"))
+    states = sketch_by_key(df, "source", [SketchSpec("h", "hll", "tokens", {"p": 12})])
+    a = {(r["key_a"], r["key_b"]): r["value"] for r in pairwise_similarity(states, "source").collect()}
+    b = {(r["key_a"], r["key_b"]): r["value"] for r in pairwise_df(states, "source").collect()}
+    assert set(a) == set(b) and len(a) == 6  # 4 sources → 6 pairs
+    for k in a:
+        assert a[k] == pytest.approx(b[k])
+
+
+def test_pairwise_unknown_metric_raises(spark, overlap_states):
+    with pytest.raises(ValueError, match="unknown metric"):
+        pairwise_similarity(overlap_states, "source", "cosine")
+
+
+# ---------------- streaming ------------------------------------------------------
+
+
+SPECS = [
+    SketchSpec("h", "hll", "tokens", {"p": 12}),
+    SketchSpec("c", "cms", "tokens", {"l2sz": 14, "nh": 4}),
+]
+
+
+def test_stream_matches_batch_byte_identical(spark, fixtures, tmp_path):
+    """availableNow stream over the fixture dir must produce the same merged
+    states as the batch build (exact-state monoids)."""
+    d, _ = fixtures
+    input_dir = os.path.join(d, "uniform")
+    got = stream_sketches(spark, input_dir, SPECS, str(tmp_path / "s1"))
+    want = build_sketches(spark.read.parquet(input_dir), SPECS)
+    for name in ("h", "c"):
+        assert got[name].to_bytes() == want[name].to_bytes()
+
+
+def test_stream_microbatches_and_progress(spark, fixtures, tmp_path):
+    """Bounded micro-batches (4 files each over 16 files → ≥4 batches) still
+    accumulate to the batch answer; progress() exposes per-batch lineage."""
+    d, answers = fixtures
+    input_dir = os.path.join(d, "uniform")
+    b = StreamingSketchBuild(spark, SPECS, str(tmp_path / "s2"))
+    q = b.start(input_dir, max_files_per_trigger=4)
+    q.awaitTermination()
+    sk = b.current()
+    exact = answers["uniform"]["distinct"]
+    assert abs(sk["h"].estimate() - exact) <= 3 * sk["h"].relative_error() * exact
+    assert sk["c"].total() == answers["uniform"]["n_tokens"]
+    prog = b.progress().collect()
+    assert len(prog) >= 4
+    assert sum(r["rows"] for r in prog) == answers["n_docs"]
+
+
+def test_stream_restart_is_idempotent(spark, fixtures, tmp_path):
+    """Running the stream twice over the same checkpoint must not double
+    count (second run sees no new files)."""
+    d, answers = fixtures
+    input_dir = os.path.join(d, "uniform")
+    work = str(tmp_path / "s3")
+    first = stream_sketches(spark, input_dir, SPECS, work)
+    again = stream_sketches(spark, input_dir, SPECS, work)
+    assert again["c"].total() == first["c"].total() == answers["uniform"]["n_tokens"]
+    assert again["h"].to_bytes() == first["h"].to_bytes()

@@ -1,14 +1,29 @@
 """Scaling-efficiency evidence for the north rule's two-cluster-size
 criterion: run the SAME flagship token-sketch job at two parallelism levels
-(local[N] and local[4N]) on the SAME input and report throughput at both
-plus efficiency = T_N·N / (T_4N·4N).
+(N and 4N cores) on the SAME input and report throughput at both plus
+efficiency = T_N·N / (T_4N·4N).
 
-No real cluster exists in this sandbox, so parallelism level stands in for
-executor count (driver instruction). Each level runs in its own subprocess
-so the JVM/session is fresh and levels can't share executor pools.
+No real cluster exists in this sandbox, so core count stands in for
+executor count (driver instruction). Fairness details that matter:
 
-Usage: python tools/scaling_bench.py [--n 8] [--docs 60000] [--repeat 2]
-Prints one JSON line; append the table to BASELINE.md by hand or via --md.
+  * each level runs in its own subprocess **pinned with taskset to exactly
+    that many CPUs**, so the small configuration cannot borrow idle cores
+    for JVM helper threads (unpinned local[2] on a 32-core box measures a
+    ~10-thread process, not a 2-core cluster);
+  * the input is large enough (default 480k docs ≈ 147M tokens) that the
+    constant ~1s serial residue (final state collect + driver fold — the
+    analog of the reference's rank-0 re-add, mpiParallelIO.cpp:283-296)
+    is amortized, as it would be at cluster scale;
+  * a warm-up build runs first (python workers, page cache), then the
+    minimum of `--repeat` timed runs is reported.
+
+Single-socket caveat recorded with the results: all N cores share one
+DRAM controller here, while a real 4N-executor cluster brings 4× the
+memory bandwidth — so these numbers are a *lower bound* on cluster
+scaling for the bandwidth-bound fraction of the job.
+
+Usage: python tools/scaling_bench.py [--n 2] [--docs 480000] [--repeat 2]
+Prints one JSON line; BASELINE.md records the table.
 """
 
 from __future__ import annotations
@@ -56,9 +71,10 @@ spark.stop()
 
 def run_level(cores: int, docs: int, repeat: int) -> dict:
     code = _CHILD.format(repo=REPO, cores=cores, docs=docs, repeat=repeat)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO, timeout=1800
-    )
+    cmd = [sys.executable, "-c", code]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3000)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -67,14 +83,13 @@ def run_level(cores: int, docs: int, repeat: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=8, help="small level N (large = 4N)")
-    ap.add_argument("--docs", type=int, default=60_000)
+    ap.add_argument("--n", type=int, default=2, help="small level N (large = 4N)")
+    ap.add_argument("--docs", type=int, default=480_000)
     ap.add_argument("--repeat", type=int, default=2)
     args = ap.parse_args()
 
     small = run_level(args.n, args.docs, args.repeat)
     large = run_level(4 * args.n, args.docs, args.repeat)
-    # efficiency: ideal scaling would cut time 4x; eff = (T_N * N) / (T_4N * 4N)
     eff = (small["sec"] * args.n) / (large["sec"] * 4 * args.n)
     print(
         json.dumps(
@@ -82,6 +97,7 @@ def main() -> None:
                 "metric": "scaling_efficiency_Nx4N",
                 "value": round(eff, 3),
                 "pass": eff >= 0.8,
+                "pinned": os.path.exists("/usr/bin/taskset"),
                 "small": small,
                 "large": large,
                 "n_small": args.n,

@@ -119,6 +119,60 @@ def seeded_hashes(x, seeds: np.ndarray) -> np.ndarray:
     return out
 
 
+_MERS61 = _U64((1 << 61) - 1)
+
+
+def _mod61(x: np.ndarray) -> np.ndarray:
+    """Reduce uint64 values mod the Mersenne prime 2^61-1 (branch-free)."""
+    with np.errstate(**_ERRSTATE):
+        x = (x >> _U64(61)) + (x & _MERS61)
+        return np.where(x >= _MERS61, x - _MERS61, x)
+
+
+def mulmod61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a*b) mod 2^61-1 for a,b < 2^61-1, vectorized without 128-bit ints.
+
+    Split a = a1·2^31 + a0, b = b1·2^31 + b0; using 2^61 ≡ 1 (mod p):
+    a·b ≡ 2·a1·b1 + fold(mid·2^31) + a0·b0 where mid = a1·b0 + a0·b1.
+    Every intermediate fits in uint64. Same trick as the reference's
+    CWtrick64 (hash.h siam namespace), NumPy-vectorized.
+    """
+    with np.errstate(**_ERRSTATE):
+        a1, a0 = a >> _U64(31), a & _U64((1 << 31) - 1)
+        b1, b0 = b >> _U64(31), b & _U64((1 << 31) - 1)
+        hi = _mod61(a1 * b1 << _U64(1))  # a1·b1·2^62 ≡ 2·a1·b1
+        mid = a1 * b0 + a0 * b1  # < 2^62, fits
+        m1, m0 = mid >> _U64(30), mid & _U64((1 << 30) - 1)
+        # mid·2^31 = m1·2^61 + m0·2^31 ≡ m1 + m0·2^31
+        midr = _mod61(m1 + (m0 << _U64(31)))
+        lo = _mod61(a0 * b0)
+        return _mod61(hi + midr + lo)
+
+
+def poly_hash_mersenne(x, coeffs: np.ndarray) -> np.ndarray:
+    """k-wise-independent polynomial hash over GF(2^61-1):
+    h(x) = c_{k-1}·x^{k-1} + … + c_1·x + c_0 (mod 2^61-1), Horner form.
+
+    With k random coefficients this family is k-wise independent — the
+    construction behind the reference's `KWiseIndependentPolynomialHash`
+    (hash.h:304-351) used by the 4-wise count sketch (`cs4wbase_t`,
+    ccm.h:558-741).
+    """
+    xs = _mod61(_u64(x))
+    h = np.full(xs.shape, _U64(int(coeffs[-1])), dtype=np.uint64)
+    with np.errstate(**_ERRSTATE):
+        for c in coeffs[-2::-1]:
+            h = _mod61(mulmod61(h, xs) + _U64(int(c)))
+    return h
+
+
+def kwise_coefficients(k: int, nh: int, seed: int) -> np.ndarray:
+    """(nh, k) coefficient matrix, each row an independent degree-(k-1)
+    polynomial; drawn deterministically from splitmix64(seed) mod 2^61-1."""
+    raw = splitmix64(seed, nh * k).reshape(nh, k)
+    return _mod61(raw)
+
+
 def clz64(x: np.ndarray) -> np.ndarray:
     """Count leading zeros of each uint64, vectorized (clz(0) = 64).
 

@@ -26,7 +26,13 @@ from typing import Any
 
 import numpy as np
 
-from sketch_spark.hashing import CHUNK, seeded_hashes, splitmix64
+from sketch_spark.hashing import (
+    CHUNK,
+    kwise_coefficients,
+    poly_hash_mersenne,
+    seeded_hashes,
+    splitmix64,
+)
 from sketch_spark.sketches.base import Sketch, register
 
 _U64 = np.uint64
@@ -148,18 +154,26 @@ class CountMinSketch(_TableSketch):
 class CountSketch(_TableSketch):
     kind = "countsketch"
 
+    # which bit of the row hash supplies the ±1 sign (disjoint from the index
+    # mask; ccm.h:471-495 draws it from the hash beyond the index bits)
+    _sign_bit = 63
+
+    def _chunk_hashes(self, chunk: np.ndarray) -> np.ndarray:
+        """(nh, len(chunk)) uint64 row hashes — the hash-family hook the
+        4-wise variant overrides."""
+        return seeded_hashes(chunk, self._seeds)
+
     def _idx_sign(self, values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         v = np.asarray(values)
         idx = np.empty((self.nh, len(v)), dtype=np.int32)
         sign = np.empty((self.nh, len(v)), dtype=np.int8)
         mask = _U64(self.w - 1)
+        sb = _U64(self._sign_bit)
         for i in range(0, len(v), CHUNK):
-            hs = seeded_hashes(v[i : i + CHUNK], self._seeds)
+            hs = self._chunk_hashes(v[i : i + CHUNK])
             idx[:, i : i + hs.shape[1]] = (hs & mask).astype(np.int32)
-            # sign from a high hash bit, disjoint from index bits
-            # (ccm.h:471-495 draws it from the hash beyond the index mask)
             sign[:, i : i + hs.shape[1]] = (
-                ((hs >> _U64(63)).astype(np.int8) << 1) - 1
+                (((hs >> sb) & _U64(1)).astype(np.int8) << 1) - 1
             )  # ±1
         return idx, sign
 
@@ -204,3 +218,36 @@ class CountSketch(_TableSketch):
         out = CountSketch(l2sz=new_l2, nh=self.nh, seed=self.seed)
         out.table = self.table.reshape(self.nh, 1 << factor_log2, 1 << new_l2).sum(axis=1)
         return out
+
+
+@register
+class CountSketch4W(CountSketch):
+    """Count sketch with provably 4-wise-independent polynomial row hashes
+    (reference `cs4wbase_t`/`cs4w_t`, ccm.h:558-741, hashing via
+    `KWiseHasherSet<4>` hash.h:404-411): degree-3 polynomials over
+    GF(2^61-1). The 4-wise guarantee is what makes the variance analysis of
+    the count sketch unconditional rather than heuristic. Update/merge/query
+    semantics are inherited; only the hash family differs. Sign comes from
+    bit 60 — the top bit of the 61-bit polynomial output, disjoint from the
+    index mask (w ≤ 2^30)."""
+
+    kind = "cs4w"
+    _sign_bit = 60
+
+    def __init__(self, l2sz: int = 16, nh: int = 4, seed: int = 137):
+        super().__init__(l2sz=l2sz, nh=nh, seed=seed)
+        if l2sz > 30:
+            raise ValueError("cs4w requires l2sz <= 30 (index bits below the sign bit)")
+        self._coeffs = kwise_coefficients(4, self.nh, self.seed)
+
+    def _chunk_hashes(self, chunk: np.ndarray) -> np.ndarray:
+        out = np.empty((self.nh, len(chunk)), dtype=np.uint64)
+        for i in range(self.nh):
+            out[i] = poly_hash_mersenne(chunk, self._coeffs[i])
+        return out
+
+    @classmethod
+    def _from_state(cls, params, arrays):
+        obj = cls(**params)
+        obj.table = arrays["table"].astype(cls.dtype)
+        return obj

@@ -86,6 +86,63 @@ def ertl_improved_estimate(counts: np.ndarray, p: int) -> float:
     return m_alpha * m / z
 
 
+def ertl_mle_estimate(counts: np.ndarray, p: int, q: int | None = None, relerr: float = 1e-2) -> float:
+    """Maximum-likelihood cardinality estimate from the register histogram —
+    Algorithm 8 of Ertl, "New cardinality estimation algorithms for
+    HyperLogLog sketches" (arXiv:1702.01284), the reference's ERTL_MLE
+    estimator (hll.h:533-592). Secant iteration on the scaled likelihood
+    x = n/m; Poisson-model h(x) evaluated by the paper's continued-fraction
+    recurrence to avoid cancellation.
+    """
+    m = 1 << p
+    if q is None:
+        q = 64 - p
+    c = counts
+    if c[q + 1] == m:
+        return math.inf
+    k_min = int(np.flatnonzero(c)[0])
+    k_min_p = max(1, k_min)
+    k_max = int(np.flatnonzero(c[: q + 2])[-1])
+    k_max_p = min(q, k_max)
+    z = 0.0
+    for k in range(k_max_p, k_min_p - 1, -1):
+        z = 0.5 * z + float(c[k])
+    z = math.ldexp(z, -k_min_p)
+    c_prime = float(c[q + 1])
+    if q:
+        c_prime += float(c[k_max_p])
+    a = z + float(c[0])
+    m_prime = m - int(c[0])
+    gprev = z + math.ldexp(float(c[q + 1]), -q)
+    x = m_prime / (0.5 * gprev + a) if gprev <= 1.5 * a else (m_prime / gprev) * math.log1p(gprev / a)
+    gprev = 0.0
+    delta_x = x
+    eps = relerr / math.sqrt(m)
+    while delta_x > x * eps:
+        kappa_m1 = math.frexp(x)[1]
+        x_prime = math.ldexp(x, -max(k_max_p + 1, kappa_m1 + 2))
+        x_pp = x_prime * x_prime
+        h = x_prime - x_pp / 3 + (x_pp * x_pp) * (1.0 / 45.0 - x_pp / 472.5)
+        for _ in range(kappa_m1, k_max_p - 1, -1):
+            h_prime = 1.0 - h
+            h = (x_prime + h * h_prime) / (x_prime + h_prime)
+            x_prime += x_prime
+        g = c_prime * h
+        for k in range(k_max_p - 1, k_min_p - 1, -1):
+            h_prime = 1.0 - h
+            h = (x_prime + h * h_prime) / (x_prime + h_prime)
+            x_prime += x_prime
+            g += float(c[k]) * h
+        g += x * a
+        if gprev < g <= m_prime:
+            delta_x *= (g - m_prime) / (gprev - g)
+        else:
+            delta_x = 0.0
+        x += delta_x
+        gprev = g
+    return x * m
+
+
 def original_estimate(counts: np.ndarray, p: int) -> float:
     """Flajolet 2007 estimator with small/large range corrections
     (reference hll.h:198-226)."""
@@ -110,6 +167,50 @@ def original_estimate(counts: np.ndarray, p: int) -> float:
     return est
 
 
+def ertl_joint(h1: "HyperLogLog", h2: "HyperLogLog") -> tuple[float, float, float]:
+    """Joint cardality decomposition (|A∖B|, |B∖A|, |A∩B|) from two register
+    arrays via Ertl's joint MLE construction (arXiv:1702.01284 §joint;
+    reference hll.h:601-649): per-register comparisons produce six
+    histograms (less/equal/greater and union), two synthetic "half" sketches
+    are estimated at q-1, and the intersection is the average of the two
+    resulting linear systems. Substantially more accurate than
+    inclusion-exclusion for small intersections.
+    """
+    if h1.p != h2.p:
+        raise ValueError("joint estimate requires equal p")
+    p, q = h1.p, 64 - h1.p
+    m = 1 << p
+    r1, r2 = h1.regs, h2.regs
+    nb = q + 2
+    c1 = np.bincount(r1, minlength=nb)
+    c2 = np.bincount(r2, minlength=nb)
+    cu = np.bincount(np.maximum(r1, r2), minlength=nb)
+    eq_mask = r1 == r2
+    ceq = np.bincount(r1[eq_mask], minlength=nb)
+    cg1 = np.bincount(r1[r1 > r2], minlength=nb)
+    cg2 = np.bincount(r2[r2 > r1], minlength=nb)
+    cAX = ertl_mle_estimate(c1, p, q)
+    cBX = ertl_mle_estimate(c2, p, q)
+    cABX = ertl_mle_estimate(cu, p, q)
+    axb = np.zeros(nb, dtype=np.int64)
+    bxa = np.zeros(nb, dtype=np.int64)
+    axb[q] = m
+    bxa[q] = m
+    for k in range(q):
+        axb[k] = cg1[k] + ceq[k] + cg2[k + 1]
+        axb[q] -= axb[k]
+        bxa[k] = cg2[k] + ceq[k] + cg1[k + 1]
+        bxa[q] -= bxa[k]
+    cAXBhalf = ertl_mle_estimate(axb, p, q - 1)
+    cBXAhalf = ertl_mle_estimate(bxa, p, q - 1)
+    a_only = max(0.0, cABX - cBX)
+    b_only = max(0.0, cABX - cAX)
+    cx1 = 1.5 * cBX + 1.5 * cAX - cBXAhalf - cAXBhalf
+    cx2 = 2.0 * (cBXAhalf + cAXBhalf) - 3.0 * cABX
+    inter = max(0.0, 0.5 * (cx1 + cx2))
+    return a_only, b_only, inter
+
+
 @register
 class HyperLogLog(Sketch):
     kind = "hll"
@@ -117,6 +218,8 @@ class HyperLogLog(Sketch):
     def __init__(self, p: int = 14, seed: int = 0, estimator: str = "ertl"):
         if not 4 <= p <= 24:
             raise ValueError("p must be in [4, 24]")
+        if estimator not in ("ertl", "original", "mle"):
+            raise ValueError(f"unknown estimator {estimator!r}; have ertl, original, mle")
         self.p = int(p)
         self.seed = int(seed)
         self.estimator = estimator
@@ -152,6 +255,10 @@ class HyperLogLog(Sketch):
         counts = self._counts()
         if self.estimator == "original":
             return original_estimate(counts, self.p)
+        if self.estimator == "mle":
+            if not counts[1:].any():  # empty sketch
+                return 0.0
+            return ertl_mle_estimate(counts, self.p)
         return ertl_improved_estimate(counts, self.p)
 
     def relative_error(self) -> float:
@@ -169,9 +276,18 @@ class HyperLogLog(Sketch):
             np.bincount(u, minlength=64 - self.p + 2), self.p
         )
 
-    def intersection_size(self, other: "HyperLogLog") -> float:
-        """Inclusion-exclusion (reference fallback path hll.h:605-614)."""
+    def intersection_size(self, other: "HyperLogLog", joint: bool = False) -> float:
+        """Inclusion-exclusion by default (reference fallback path
+        hll.h:605-614); ``joint=True`` uses the Ertl joint MLE (hll.h:601-649,
+        better for small intersections)."""
+        if joint:
+            return self.joint_estimate(other)[2]
         return max(0.0, self.estimate() + other.estimate() - self.union_size(other))
+
+    def joint_estimate(self, other: "HyperLogLog") -> tuple[float, float, float]:
+        """(|A∖B|, |B∖A|, |A∩B|) via Ertl joint MLE."""
+        self._check_mergeable(other)
+        return ertl_joint(self, other)
 
     def jaccard_index(self, other: "HyperLogLog") -> float:
         u = self.union_size(other)

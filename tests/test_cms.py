@@ -137,3 +137,52 @@ def test_serialization_round_trip_cms_cs():
         np.testing.assert_array_equal(
             back.query(np.array([137])), sk.query(np.array([137]))
         )
+
+
+# ---------------- 4-wise count sketch (polynomial hashes) ---------------------
+
+
+def test_cs4w_hash_family_is_exact_vs_bigint_oracle():
+    """The Mersenne-61 polynomial evaluation must match arbitrary-precision
+    arithmetic exactly (this is what makes the 4-wise independence claim
+    real, reference hash.h:304-351)."""
+    from sketch_spark.hashing import kwise_coefficients, poly_hash_mersenne
+
+    M = (1 << 61) - 1
+    co = kwise_coefficients(4, 1, seed=7)[0]
+    xs = RNG.integers(0, 2**63, 500, dtype=np.int64)
+    got = poly_hash_mersenne(xs, co)
+    want = np.array(
+        [
+            sum(int(co[i]) * pow(int(x) % M, i, M) for i in range(4)) % M
+            for x in xs.astype(np.uint64)
+        ],
+        dtype=np.uint64,
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cs4w_point_query_error():
+    from sketch_spark.sketches.cms import CountSketch4W
+
+    cs = CountSketch4W(l2sz=18, nh=5).update(STREAM)
+    est = int(cs.query(np.array([137]))[0])
+    assert abs(est - TRUE_137) < 10  # mctest.cpp:76 parity
+
+
+def test_cs4w_merge_and_roundtrip():
+    from sketch_spark.sketches.cms import CountSketch4W
+
+    parts = np.array_split(STREAM, 5)
+    merged = merge_all(CountSketch4W(l2sz=14, nh=5).update(p) for p in parts)
+    single = CountSketch4W(l2sz=14, nh=5).update(STREAM)
+    assert merged.to_bytes() == single.to_bytes()
+    assert from_bytes(single.to_bytes()).to_bytes() == single.to_bytes()
+
+
+def test_cs4w_differs_from_wanghash_family():
+    from sketch_spark.sketches.cms import CountSketch4W
+
+    a = CountSketch4W(l2sz=14, nh=5).update(STREAM[:1000])
+    b = CountSketch(l2sz=14, nh=5).update(STREAM[:1000])
+    assert not np.array_equal(a.table, b.table)

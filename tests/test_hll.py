@@ -146,3 +146,48 @@ def test_serialization_round_trip_and_resume():
     # updating the restored sketch matches updating the original
     more = np.arange(10_000, 20_000, dtype=np.int64)
     assert h2.update(more).to_bytes() == h.update(more).to_bytes()
+
+
+@pytest.mark.parametrize("n", [1_000, 10_000, 100_000, 1_000_000])
+def test_mle_estimator_within_bound(n):
+    """hlltest.cpp:77 parity: the ERTL_MLE estimator also stays inside the
+    published envelope on deterministic inserts of 0..n."""
+    h = HyperLogLog(p=14, estimator="mle")
+    h.update(np.arange(n, dtype=np.int64))
+    assert abs(h.estimate() - n) <= 3.0 * h.relative_error() * n
+
+
+def test_mle_estimator_edge_cases():
+    assert HyperLogLog(p=10, estimator="mle").estimate() == 0.0
+    h = HyperLogLog(p=10, estimator="mle").update(np.arange(3, dtype=np.int64))
+    assert 1 <= h.estimate() <= 6
+
+
+def test_three_estimators_agree_at_scale():
+    n = 200_000
+    data = np.arange(n, dtype=np.int64)
+    ests = {
+        e: HyperLogLog(p=14, estimator=e).update(data).estimate()
+        for e in ("ertl", "original", "mle")
+    }
+    for e, v in ests.items():
+        assert abs(v - n) / n < 0.03, (e, v)
+
+
+def test_ertl_joint_mle_decomposition():
+    """Joint MLE (|A\\B|, |B\\A|, |A∩B|) on the JI=1/3 geometry — tighter
+    than inclusion-exclusion (reference hll.h:601-649)."""
+    a = HyperLogLog(p=14).update(np.arange(0, 20_000, dtype=np.int64))
+    b = HyperLogLog(p=14).update(np.arange(10_000, 30_000, dtype=np.int64))
+    a_only, b_only, inter = a.joint_estimate(b)
+    assert abs(a_only - 10_000) / 10_000 < 0.05
+    assert abs(b_only - 10_000) / 10_000 < 0.05
+    assert abs(inter - 10_000) / 10_000 < 0.05
+    # small-intersection case where inclusion-exclusion is noisy
+    c = HyperLogLog(p=14).update(np.arange(19_000, 39_000, dtype=np.int64))
+    _, _, small_inter = a.joint_estimate(c)
+    assert abs(small_inter - 1_000) / 1_000 < 0.35
+    assert a.intersection_size(c, joint=True) == pytest.approx(small_inter)
+def test_joint_requires_equal_p():
+    with pytest.raises(ValueError):
+        HyperLogLog(p=10).joint_estimate(HyperLogLog(p=12))

@@ -19,8 +19,10 @@ EXACT_KINDS = [
     ("bloom", {"l2sz": 14, "nh": 4}),
     ("cms", {"l2sz": 12, "nh": 4}),
     ("countsketch", {"l2sz": 12, "nh": 5}),
+    ("cs4w", {"l2sz": 12, "nh": 5}),
     ("minhash", {"k": 256}),
     ("counting_minhash", {"k": 256}),
+    ("multiplicity", {"r": 4}),
 ]
 
 DATA = np.random.default_rng(2024).integers(0, 2**32, 30_000, dtype=np.int64)

@@ -1,0 +1,100 @@
+"""Physical-plan audits: the declarative operators must compile to the plans
+we designed for — column pruning reaching the parquet scan, predicate
+pushdown, broadcastable small sides broadcast, and LSH joins planned as
+equi-joins (never cartesian). These are the .explain() checks SURVEY.md §4
+promises ("Catalyst contributes scan pruning … AQE")."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def test_column_pruning_reaches_scan(spark, docs):
+    """A 2-column aggregate must scan 2 columns, not the whole table."""
+    from sketch_spark.pipeline.text import with_token_count
+
+    q = with_token_count(docs).groupBy("source").agg(F.sum("n_tokens"))
+    plan = _plan(q)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read, plan
+    assert "text" in read[0] and "source" in read[0]
+    assert "doc_id" not in read[0], f"doc_id not pruned: {read[0]}"
+
+
+def test_predicate_pushdown_reaches_scan(spark, docs):
+    q = docs.where(F.col("source") == "src0").select("doc_id")
+    plan = _plan(q)
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "EqualTo(source,src0)" in pushed or "EqualTo(source" in pushed, pushed
+
+
+def test_lsh_candidate_join_is_equi_join_not_cartesian(spark, docs):
+    """The near-dup candidate join must be a hash equi-join on
+    (band_id, band_hash) — at 100 TB a cartesian plan would be fatal."""
+    from sketch_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(docs.limit(50), num_hashes=32)
+    pairs = lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan or "join" in plan
+
+
+def test_simhash_join_is_equi_join(spark, docs):
+    from sketch_spark.pipeline.dedup import simhash_neardups
+
+    plan = _plan(simhash_neardups(docs.limit(50)))
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_bucket_join_is_broadcast(spark, sf_dir):
+    """The wanted-bucket semi-join broadcasts the tiny bucket list."""
+    import numpy as np
+
+    from sketch_spark.pipeline.similarity import ann_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = np.zeros((1, 64), dtype=np.float64)
+    plan = _plan(ann_topk(emb, q, np.array([0]), k=3, n_planes=4, n_tables=2))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sketch_partial_agg_scans_only_needed_columns(spark, fixtures):
+    """partition_states must select only the sketched columns before the
+    Arrow exchange (SURVEY.md §4: 'a scan that reads all columns for a
+    2-column projection is wrong')."""
+    from sketch_spark.spark.agg import SketchSpec, partition_states
+
+    d, _ = fixtures
+    df = spark.read.parquet(os.path.join(d, "uniform"))
+    states = partition_states(df, [SketchSpec("h", "hll", "tokens", {"p": 10})])
+    plan = _plan(states)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read, plan
+    assert "tokens" in read[0]
+    assert "doc_id" not in read[0] and "source" not in read[0], read[0]
+
+
+def test_exact_dedup_no_cartesian(spark, docs):
+    from sketch_spark.pipeline.dedup import exact_dedup
+
+    plan = _plan(exact_dedup(docs))
+    assert "CartesianProduct" not in plan
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

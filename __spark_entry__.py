@@ -414,6 +414,21 @@ def q_ann_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
+def q_bpe_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword-token counting per source (word runs / single digits /
+    punctuation — sketch_spark.pipeline.text.with_bpe_token_count); oracle
+    runs the identical regex in DuckDB."""
+    from sketch_spark.pipeline.text import with_bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        with_bpe_token_count(docs)
+        .groupBy("source")
+        .agg(F.sum("n_bpe_tokens").alias("total_bpe_tokens"))
+        .orderBy("source")
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 3 vectors (mapInArrow matmul
     path); oracle recomputes with DuckDB list_cosine_similarity. Cosine
@@ -451,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_docs": q_dedup_keep_docs,
         "quality_filter_by_source": q_quality_filter_by_source,
         "ann_topk_recall": q_ann_topk_recall,
+        "bpe_token_count_by_source": q_bpe_token_count_by_source,
         "cosine_topk": q_cosine_topk,
     }
 
@@ -632,6 +648,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_recall": (
             "SELECT CAST(query_id AS BIGINT) AS query_id, TRUE AS recall_ok "
             "FROM (VALUES (0), (1), (2)) AS t(query_id) ORDER BY query_id"
+        ),
+        "bpe_token_count_by_source": (
+            r"SELECT source, CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens "
+            r"FROM documents GROUP BY source ORDER BY source"
         ),
         "cosine_topk": (
             """

@@ -130,9 +130,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cores": cores,
+        "tokens_per_sec": extra["tokens_per_sec"],
+        "n_tokens": extra["n_tokens"],
     }
-    if args.json_extra:
-        out["extra"] = extra
     print(json.dumps(out))
     spark.stop()
 

@@ -157,6 +157,39 @@ def lsh_bucket_embeddings(
     )
 
 
+def embedding_neardups(
+    df: DataFrame, threshold: float = 0.95,
+    n_planes: int = 8, n_tables: int = 6, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: multi-table LSH bucketing
+    proposes candidates (rows sharing any (table, bucket)), then exact
+    cosine filters at ``threshold``. The cross product never materializes —
+    candidates come from a self-equi-join on the compact (table, bucket)
+    key, the same shape as MinHash-LSH text dedup."""
+    buckets = lsh_bucket_embeddings(
+        df, n_planes=n_planes, n_tables=n_tables, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    l = buckets.alias("l")
+    r = buckets.alias("r")
+    cand = (
+        l.join(r, ["table", "bucket"])
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb")) + F.lit(1e-30)))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ann_topk(
     df: DataFrame, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     n_planes: int = 8, n_tables: int = 8, seed: int = 42,

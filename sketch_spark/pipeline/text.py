@@ -80,6 +80,21 @@ def with_lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_guess", guess)
 
 
+# GPT-2-flavored pre-tokenization classes: word runs, digit runs, single
+# punctuation marks — the "BPE-ish regex" count that approximates subword
+# token counts without a vocabulary (the real BPE merge table would refine
+# these splits, never cross them).
+_BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens") -> DataFrame:
+    """Approximate subword-token count via the BPE pre-tokenization regex —
+    JVM-side `regexp_extract_all`, whole-stage codegen'd."""
+    return df.withColumn(
+        out, F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_ISH), F.lit(0)))
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
     """Deterministic 64-bit document fingerprint (xxhash64 of normalized
     text) — the exact-dedup key. Normalization: collapse whitespace, lower."""

@@ -341,12 +341,25 @@ class HyperLogLog(Sketch):
         return {"p": self.p, "seed": self.seed, "estimator": self.estimator}
 
     def _arrays(self) -> dict[str, np.ndarray]:
+        # sparse wire encoding for low-cardinality states: when < 1/8 of the
+        # registers are set, ship (index<<6 | value) uint32 pairs instead of
+        # the dense array — the reference's SparseHLL32 layout (sparse.h:16-28)
+        # and the same trick Spark's own HLL++ uses for its sparse mode.
+        nz = np.flatnonzero(self.regs)
+        if len(nz) * 4 < len(self.regs) // 2:  # 4B/entry vs 1B/register
+            enc = (nz.astype(np.uint32) << np.uint32(6)) | self.regs[nz].astype(np.uint32)
+            return {"sparse": enc}
         return {"regs": self.regs}
 
     @classmethod
     def _from_state(cls, params, arrays) -> "HyperLogLog":
         obj = cls(**params)
-        obj.regs = arrays["regs"].astype(np.uint8)
+        if "sparse" in arrays:
+            enc = arrays["sparse"].astype(np.uint32)
+            obj.regs = np.zeros(1 << obj.p, dtype=np.uint8)
+            obj.regs[(enc >> np.uint32(6)).astype(np.int64)] = (enc & np.uint32(63)).astype(np.uint8)
+        else:
+            obj.regs = arrays["regs"].astype(np.uint8)
         return obj
 
     def __repr__(self) -> str:  # pragma: no cover

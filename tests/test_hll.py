@@ -191,3 +191,19 @@ def test_ertl_joint_mle_decomposition():
 def test_joint_requires_equal_p():
     with pytest.raises(ValueError):
         HyperLogLog(p=10).joint_estimate(HyperLogLog(p=12))
+
+
+def test_sparse_wire_encoding_round_trips():
+    """Low-fill states ship as (idx<<6|val) pairs (sparse.h:16-28 layout);
+    restore must be register-exact and merge-compatible with dense states."""
+    small = HyperLogLog(p=14).update(np.arange(50, dtype=np.int64))
+    blob = small.to_bytes()
+    assert len(blob) < 1000  # dense would be 16KB+
+    back = from_bytes(blob)
+    np.testing.assert_array_equal(back.regs, small.regs)
+    big = HyperLogLog(p=14).update(np.arange(100_000, dtype=np.int64))
+    merged = back.copy().merge(big)
+    direct = HyperLogLog(p=14).update(np.arange(50, dtype=np.int64)).merge(
+        HyperLogLog(p=14).update(np.arange(100_000, dtype=np.int64))
+    )
+    assert merged.to_bytes() == direct.to_bytes()

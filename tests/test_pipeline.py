@@ -226,3 +226,49 @@ def test_extract_features_plumbing(spark):
     # deterministic across runs
     feats2 = extract_features(synth_media_df(spark, n=32), dim=8).collect()
     assert [r["feature"] for r in feats] == [r["feature"] for r in feats2]
+
+
+# ---------------- embedding near-dups + BPE counting + sources ----------------
+
+
+def test_embedding_neardups_finds_planted_dup(spark):
+    """Plant an exact duplicate vector; it must surface at cosine ≈ 1."""
+    from sketch_spark.pipeline.similarity import embedding_neardups
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 16)).astype("float32")
+    vecs[7] = vecs[3]  # exact dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_neardups(df, threshold=0.99, n_planes=6, n_tables=8).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in got}
+    assert (3, 7) in pairs and pairs[(3, 7)] == pytest.approx(1.0, abs=1e-5)
+    # random 16-d vectors almost never reach cosine 0.99
+    assert all(k == (3, 7) for k in pairs)
+
+
+def test_bpe_token_count(spark):
+    from sketch_spark.pipeline.text import with_bpe_token_count
+
+    df = spark.createDataFrame([Row(text="Hello, world! x2"), Row(text="")])
+    rows = with_bpe_token_count(df).collect()
+    # Hello | , | world | ! | x | 2  → 6
+    assert rows[0]["n_bpe_tokens"] == 6
+    assert rows[1]["n_bpe_tokens"] == 0
+
+
+def test_sources_parquet_and_iceberg_gate(spark, fixtures, tmp_path):
+    import os
+
+    from sketch_spark.sources import load_table, write_table
+
+    d, _ = fixtures
+    df = load_table(spark, os.path.join(d, "uniform"))
+    assert df.count() == 10_000
+    out = str(tmp_path / "sink")
+    write_table(df.limit(5), out, mode="append")
+    assert load_table(spark, out).count() == 5
+    with pytest.raises(RuntimeError, match="Iceberg"):
+        load_table(spark, "cat.db.t", fmt="iceberg")
+    with pytest.raises(ValueError, match="unknown fmt"):
+        load_table(spark, "x", fmt="orc")

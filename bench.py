@@ -109,12 +109,19 @@ def main() -> None:
     with timed("hll_by_key"):
         sketch_by_key(ev, "event_type", [SketchSpec("h", "hll", "user_id", {"p": 14})]).collect()
 
+    # ---- top-k + multiplicity histogram ------------------------------------
+    with timed("topk_multiplicity"):
+        build_sketches(li, [SketchSpec("t", "topk", "l_partkey", {"m": 8192})])
+        build_sketches(ev, [SketchSpec("m", "multiplicity", "user_id", {"r": 0})])
+
     # ---- pipeline ops ----------------------------------------------------------
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     with timed("dedup_stats"):
         dedup_stats(docs).collect()
     with timed("minhash_lsh"):
-        minhash_lsh_neardups(docs, threshold=0.7, num_hashes=64, bands=16).count()
+        # bands=8 → r=8 rows/band: LSH S-curve threshold (1/8)^(1/8) ≈ 0.77,
+        # matched to the 0.7 cutoff (r=4 would flood candidates at ~0.5)
+        minhash_lsh_neardups(docs, threshold=0.7, num_hashes=64, bands=8).count()
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qrows = emb.where(F.col("vec_id") < 8).collect()
     qvecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)

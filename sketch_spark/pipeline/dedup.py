@@ -48,23 +48,42 @@ def dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------- MinHash signatures + LSH banding ---------------------------
 
 
+def _char_shingles_flat(texts, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hashed character shingles for a whole batch of documents at once.
+
+    Returns (flat_hashes uint64, starts int64) where doc i's shingles are
+    ``flat[starts[i]:starts[i+1]]``. No per-document Python in the math:
+    all docs are concatenated (zero-padded by width−1 between docs so no
+    window crosses a boundary), the rolling polynomial hash is one
+    windowed matmul over the whole blob, and per-doc window index ranges
+    come from a segmented arange. Docs shorter than the window get one
+    shingle (their zero-padded window) so every doc has ≥ 1."""
+    enc = [t.encode("utf-8") if t else b"" for t in texts]
+    pad = b"\x00" * (width - 1)
+    # trailing width zeros guarantee every window index is in range even for
+    # empty/short final docs
+    blob = np.frombuffer(pad.join(enc) + b"\x00" * width, dtype=np.uint8)
+    lens = np.array([len(b) for b in enc], dtype=np.int64)
+    doc_starts = np.concatenate([[0], np.cumsum(lens[:-1] + (width - 1))])
+    counts = np.maximum(lens - width + 1, 1)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    total = int(starts[-1])
+    # segmented arange: window offset within each doc
+    intra = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], counts)
+    pos = np.repeat(doc_starts, counts) + intra
+    pows = np.power(_U64(257), np.arange(width, dtype=np.uint64), dtype=np.uint64)
+    blob64 = blob.astype(np.uint64)
+    vals = np.zeros(total, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(width):  # width (~5) strided gathers beat a u64 matmul
+            vals += blob64[pos + j] * pows[j]
+    return wanghash(vals), starts
+
+
 def _char_shingles(texts: np.ndarray, width: int) -> list[np.ndarray]:
-    """Per-doc arrays of hashed character shingles (vectorized per doc via
-    stride tricks on the byte buffer)."""
-    out = []
-    for t in texts:
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        if len(b) < width:
-            out.append(np.zeros(1, dtype=np.uint64) if len(b) == 0 else
-                       np.array([wanghash(np.array([int.from_bytes(b.tobytes(), 'little') & ((1 << 64) - 1)], dtype=np.uint64))[0]], dtype=np.uint64))
-            continue
-        win = np.lib.stride_tricks.sliding_window_view(b, width)
-        # polynomial hash of each window: dot with 257^i mod 2^64, vectorized
-        pows = np.power(_U64(257), np.arange(width, dtype=np.uint64), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            vals = (win.astype(np.uint64) * pows[None, :]).sum(axis=1, dtype=np.uint64)
-        out.append(wanghash(vals))
-    return out
+    """Per-doc view of the batch shingle hashes (compat helper)."""
+    flat, starts = _char_shingles_flat(texts, width)
+    return [flat[starts[i] : starts[i + 1]] for i in range(len(texts))]
 
 
 def minhash_signatures(
@@ -88,19 +107,30 @@ def minhash_signatures(
         for batch in batches:
             ids = batch.column(batch.schema.get_field_index(id_col))
             texts = batch.column(batch.schema.get_field_index(text_col)).to_numpy(zero_copy_only=False)
-            sigs = []
+            if len(texts) == 0:
+                continue
+            flat, starts = _char_shingles_flat(texts, shingle_width)
+            n_docs = len(texts)
+            sig = np.empty((n_docs, num_hashes), dtype=np.uint64)
+            seg = starts[:-1]
             with np.errstate(over="ignore"):
-                for sh in _char_shingles(texts, shingle_width):
-                    # (H, S) broadcast: min over shingles per hash
-                    m = (a[:, None] * sh[None, :] + b[:, None]).min(axis=1)
-                    sigs.append(m.astype(np.int64))  # two's-complement view for Spark bigint
-            yield pa.RecordBatch.from_arrays(
-                [ids, pa.array([s.tolist() for s in sigs], pa.list_(pa.int64()))],
-                names=[id_col, "sig"],
-            )
+                # one vectorized pass per hash function over ALL shingles,
+                # per-doc min via a segmented reduction — no per-doc Python
+                for j in range(num_hashes):
+                    sig[:, j] = np.minimum.reduceat(a[j] * flat + b[j], seg)
+            flat_sig = sig.reshape(-1).astype(np.int64)  # two's-complement for bigint
+            offsets = pa.array(np.arange(n_docs + 1, dtype=np.int32) * num_hashes)
+            arr = pa.ListArray.from_arrays(offsets, pa.array(flat_sig, pa.int64()))
+            yield pa.RecordBatch.from_arrays([ids, arr], names=[id_col, "sig"])
 
     id_type = dict(df.dtypes)[id_col]
-    return df.select(id_col, text_col).mapInArrow(sign, f"{id_col} {id_type}, sig array<bigint>")
+    src = df.select(id_col, text_col)
+    # signature work is CPU-bound per doc: spread single-file inputs over the
+    # cluster before the Arrow exchange
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    return src.mapInArrow(sign, f"{id_col} {id_type}, sig array<bigint>")
 
 
 def lsh_candidate_pairs(
@@ -167,6 +197,8 @@ def minhash_lsh_neardups(
     """End-to-end near-duplicate pairs at estimated Jaccard ≥ threshold."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes=num_hashes, seed=seed)
     sigs = sigs.persist()
+    sigs.count()  # materialize before the self-join: otherwise both join
+    # sides race to compute the signature stage and it runs twice
     pairs = lsh_candidate_pairs(sigs, id_col, bands=bands, rows_per_band=num_hashes // bands)
     return signature_jaccard(sigs, pairs, id_col).where(F.col("est_jaccard") >= threshold)
 
@@ -183,17 +215,26 @@ def simhash_signatures(
         for batch in batches:
             ids = batch.column(batch.schema.get_field_index(id_col))
             texts = batch.column(batch.schema.get_field_index(text_col)).to_numpy(zero_copy_only=False)
-            out = np.empty(len(texts), dtype=np.int64)
-            for i, sh in enumerate(_char_shingles(texts, shingle_width)):
-                bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)).astype(np.int64)
-                vote = (2 * bits - 1).sum(axis=0)
-                sig = np.uint64(0)
-                sig = (np.where(vote > 0, 1, 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
-                out[i] = np.int64(sig.astype(np.int64))
+            if len(texts) == 0:
+                continue
+            flat, starts = _char_shingles_flat(texts, shingle_width)
+            seg = starts[:-1]
+            counts = np.diff(starts)
+            sig = np.zeros(len(texts), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                # per-bit: segmented popcount over all shingles, majority vote
+                for bit in range(64):
+                    ones = np.add.reduceat((flat >> _U64(bit)) & _U64(1), seg)
+                    sig |= (2 * ones > counts).astype(np.uint64) << _U64(bit)
+            out = sig.astype(np.int64)
             yield pa.RecordBatch.from_arrays([ids, pa.array(out, pa.int64())], names=[id_col, "simhash"])
 
     id_type = dict(df.dtypes)[id_col]
-    return df.select(id_col, text_col).mapInArrow(sign, f"{id_col} {id_type}, simhash bigint")
+    src = df.select(id_col, text_col)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    return src.mapInArrow(sign, f"{id_col} {id_type}, simhash bigint")
 
 
 def simhash_neardups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

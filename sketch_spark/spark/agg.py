@@ -134,22 +134,43 @@ def _merge_bytes(a: bytes, b: bytes) -> bytes:
     return sa.to_bytes()
 
 
-def tree_merge_states(states: DataFrame, fanout: int = 16) -> dict[str, Sketch]:
-    """Log-depth keyed tree merge of serialized states → driver dict.
+def _fold_named_states(rows) -> "Iterator[tuple[str, bytes]]":
+    """Partition-local fold of (name, state) pairs: each incoming state is
+    deserialized once, the accumulator serialized once — a pairwise reduce
+    would pay compress/decompress per step."""
+    acc: dict[str, Sketch] = {}
+    for name, blob in rows:
+        sk = from_bytes(bytes(blob))
+        if name in acc:
+            acc[name].merge(sk)
+        else:
+            acc[name] = sk
+    for name, sk in acc.items():
+        yield name, sk.to_bytes()
 
-    Each round shrinks the partition count by ``fanout`` with a keyed
-    reduceByKey (map-side combine merges all co-located states first), so no
-    single task ever holds more than ~fanout states: the correct version of
-    the reference's disabled binomial-tree reduction
-    (mpiParallelIO.cpp:301-345).
+
+def tree_merge_states(states: DataFrame, fanout: int = 16) -> dict[str, Sketch]:
+    """Log-fanout tree merge of serialized states → driver dict.
+
+    Each level coalesces the partition count by ``fanout`` and folds the
+    co-located states with a single deserialize-once pass, so no task ever
+    re-serializes per pair: the correct version of the reference's disabled
+    binomial-tree reduction (mpiParallelIO.cpp:301-345).
     """
     rdd = states.select("name", "state").rdd.map(lambda r: (r[0], bytes(r[1])))
     nparts = max(1, rdd.getNumPartitions())
-    while nparts > 1:
-        nparts = max(1, nparts // fanout)
-        rdd = rdd.reduceByKey(_merge_bytes, numPartitions=nparts)
-    merged = rdd.reduceByKey(_merge_bytes, numPartitions=1).collect()
-    return {name: from_bytes(state) for name, state in merged}
+    rdd = rdd.mapPartitions(_fold_named_states)
+    while nparts > fanout:
+        nparts = max(fanout, nparts // fanout)
+        rdd = rdd.coalesce(nparts).mapPartitions(_fold_named_states)
+    out: dict[str, Sketch] = {}
+    for name, blob in rdd.collect():
+        sk = from_bytes(blob)
+        if name in out:
+            out[name].merge(sk)
+        else:
+            out[name] = sk
+    return out
 
 
 def build_sketches(df: DataFrame, specs: list[SketchSpec], fanout: int = 16) -> dict[str, Sketch]:

@@ -98,6 +98,28 @@ def q_hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window (daily) distinct users via per-window HLL states —
+    the time-windowed rollup shape (sketch states keyed by window start can
+    later merge into weekly/monthly rollups for free)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    states = sketch_by_key(ev, "day", [SketchSpec("h", "hll", "user_id", {"p": 14})])
+    est = states.withColumn("est", estimate_udf()(F.col("state"))).select("day", "est")
+    exact = ev.groupBy("day").agg(F.countDistinct("user_id").alias("exact_distinct"))
+    bound = 3.0 * 1.03896 / np.sqrt(1 << 14)
+    return (
+        exact.join(est, "day")
+        .select(
+            "day",
+            "exact_distinct",
+            (F.abs(F.col("est") - F.col("exact_distinct")) <= F.lit(bound) * F.col("exact_distinct")).alias("within_bound"),
+        )
+        .orderBy("day")
+    )
+
+
 def q_cms_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     sk = build_sketches(li, [SketchSpec("c", "cms", "l_partkey", {"l2sz": 16, "nh": 4})])["c"]
@@ -449,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_distinct_parts": q_hll_distinct_parts,
         "hll_distinct_users_by_type": q_hll_distinct_users_by_type,
+        "hll_daily_users": q_hll_daily_users,
         "cms_top_parts": q_cms_top_parts,
         "bloom_orders_membership": q_bloom_orders_membership,
         "kll_price_quantiles": q_kll_price_quantiles,
@@ -480,6 +503,11 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, TRUE AS within_bound "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "hll_daily_users": (
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+            "count(DISTINCT user_id) AS exact_distinct, TRUE AS within_bound "
+            "FROM events GROUP BY 1 ORDER BY day"
         ),
         "cms_top_parts": (
             "SELECT l_partkey, count(*) AS exact_cnt, TRUE AS within_eps FROM lineitem "

@@ -174,8 +174,12 @@ def tree_merge_states(states: DataFrame, fanout: int = 16) -> dict[str, Sketch]:
 
 
 def build_sketches(df: DataFrame, specs: list[SketchSpec], fanout: int = 16) -> dict[str, Sketch]:
-    """scan → per-partition partial sketches → tree merge → {name: Sketch}."""
-    return tree_merge_states(partition_states(df, specs), fanout=fanout)
+    """scan → per-partition partial sketches → tree merge → {name: Sketch}.
+    An empty input yields the identity (empty) sketch for every spec."""
+    out = tree_merge_states(partition_states(df, specs), fanout=fanout)
+    for s in specs:
+        out.setdefault(s.name, s.new())
+    return out
 
 
 def sketch_by_key(df: DataFrame, key: str, specs: list[SketchSpec]) -> DataFrame:

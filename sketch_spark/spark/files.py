@@ -134,4 +134,10 @@ def build_sketches_from_parquet(
     while nparts > fanout:
         nparts = max(fanout, nparts // fanout)
         rdd = rdd.coalesce(nparts).mapPartitions(_fold_states)
-    return _fold_objects(rdd.collect())
+    collected = rdd.collect()
+    if not collected:  # all files empty → identity sketches
+        return {s.name: s.new() for s in specs}
+    out = _fold_objects(collected)
+    for s in specs:
+        out.setdefault(s.name, s.new())
+    return out

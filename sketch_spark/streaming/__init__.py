@@ -1,3 +1,4 @@
 """Structured Streaming sketch builds."""
 
 from sketch_spark.streaming.build import StreamingSketchBuild, stream_sketches  # noqa: F401
+from sketch_spark.streaming.stateful import stateful_sketch_by_key  # noqa: F401

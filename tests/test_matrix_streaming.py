@@ -101,3 +101,60 @@ def test_stream_restart_is_idempotent(spark, fixtures, tmp_path):
     again = stream_sketches(spark, input_dir, SPECS, work)
     assert again["c"].total() == first["c"].total() == answers["uniform"]["n_tokens"]
     assert again["h"].to_bytes() == first["h"].to_bytes()
+
+
+# ---------------- keyed stateful streaming (applyInPandasWithState) -----------
+
+
+def test_stateful_sketch_by_key_matches_batch(spark, fixtures, tmp_path):
+    """Per-key running HLL in the streaming state store: after draining the
+    backlog, the final per-key states must byte-match the batch grouped
+    build (exact-state monoid + deterministic kernels)."""
+    import os
+
+    from sketch_spark.sketches.base import from_bytes
+    from sketch_spark.streaming import stateful_sketch_by_key
+
+    d, answers = fixtures
+    input_dir = os.path.join(d, "overlap")
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(input_dir)
+    )
+    spec = SketchSpec("h", "hll", "tokens", {"p": 14})
+    out = stateful_sketch_by_key(stream, "source", spec)
+    sink = str(tmp_path / "sink")
+
+    def write(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(sink)
+
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(write)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(sink).collect()
+    # final state per key = the row from the LAST batch that touched it
+    final = {}
+    for r in rows:
+        if r["key"] not in final or r["batch_id"] > final[r["key"]]["batch_id"]:
+            final[r["key"]] = r
+    assert set(final) == {"A", "B"}
+    batch_states = sketch_by_key(
+        spark.read.parquet(input_dir), "source", [spec]
+    ).collect()
+    want = {r["source"]: bytes(r["state"]) for r in batch_states}
+    for k in ("A", "B"):
+        assert bytes(final[k]["state"]) == want[k], k
+        # emitted estimate matches the known answer within the bound
+        exact = answers["overlap"][f"distinct_{k.lower()}"]
+        assert abs(final[k]["estimate"] - exact) <= 3 * 1.03896 / np.sqrt(1 << 14) * exact
+    # multiple micro-batches actually happened (stateful accumulation)
+    assert max(r["batch_id"] for r in rows) >= 1
+    # n_rows accounts for every doc of each source
+    assert sum(final[k]["n_rows"] for k in final) == answers["n_docs"]

@@ -206,3 +206,26 @@ def test_estimate_and_quantile_udfs(spark, fixtures):
     )
     for r in qrows:
         assert r["qs"][0] > 0
+
+
+def test_empty_input_yields_identity_sketches(spark, tmp_path):
+    """Sketch of the empty set = freshly-initialized sketch, on both paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_spark.spark.files import build_sketches_from_parquet
+
+    empty = pa.table(
+        {"tokens": pa.array([], pa.list_(pa.int32())), "n_tok": pa.array([], pa.int32())}
+    )
+    d = str(tmp_path / "empty")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(empty, os.path.join(d, "part-0.parquet"))
+    specs = [SketchSpec("h", "hll", "tokens", {"p": 10})]
+    via_df = build_sketches(spark.read.parquet(d), specs)
+    via_files = build_sketches_from_parquet(spark, d, specs)
+    want = make_sketch("hll", p=10)
+    assert via_df["h"].to_bytes() == want.to_bytes()
+    assert via_files["h"].to_bytes() == want.to_bytes()

@@ -18,11 +18,15 @@ Design contract (see SURVEY.md):
 
 from sketch_spark.sketches import (  # noqa: F401
     BloomFilter,
+    BottomKMinHash,
+    CountingBottomKMinHash,
     CountMinSketch,
     CountSketch,
+    CountSketch4W,
     HyperLogLog,
     KLL,
-    BottomKMinHash,
+    MisraGries,
+    SampledMultiplicity,
     TDigest,
     from_bytes,
     make_sketch,

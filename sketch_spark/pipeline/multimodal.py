@@ -76,6 +76,84 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "media_id long, pixels array<float>, out_w int, out_h int, ok boolean"
+FRAMES_SCHEMA = "media_id long, frame_idx int, frame binary, n_frames int"
+
+
+def fake_decode_image(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic stand-in for an image codec: (h, w) float32 'pixels'
+    from the byte stream (tiled + scaled). Swap for PIL decode in prod."""
+    if not payload:
+        return np.zeros((h, w), dtype=np.float32)
+    b = np.frombuffer(payload, dtype=np.uint8).astype(np.float32) / 255.0
+    reps = int(np.ceil(w * h / len(b)))
+    return np.tile(b, reps)[: w * h].reshape(h, w)
+
+
+def _area_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure NumPy (the real op would be
+    PIL/cv2.resize; the batching/schema plumbing is identical)."""
+    h, w = img.shape
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
+def resize_images(df: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Decode → resize over the binary payload column (mapInPandas).
+    Output pixels are row-major float32 of shape (out_h, out_w)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pix, ok = [], []
+            for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                try:
+                    img = fake_decode_image(bytes(p) if p is not None else b"", int(w), int(h))
+                    pix.append(_area_resize(img, out_w, out_h).ravel().tolist())
+                    ok.append(True)
+                except Exception:
+                    pix.append([0.0] * (out_w * out_h))
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "pixels": pix,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "ok": ok,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, frame_bytes: int = 16) -> DataFrame:
+    """Deterministic frame sampling from a 'video' payload: n_frames evenly
+    spaced fixed-size byte windows (a real codec would seek keyframes; the
+    explode/schema shape — one row per (media, frame) — is the production
+    contract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, totals = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p) if p is not None else b""
+                if len(raw) < frame_bytes:
+                    raw = raw + b"\x00" * (frame_bytes - len(raw))
+                max_start = len(raw) - frame_bytes
+                starts = (np.linspace(0, max_start, n_frames)).astype(int)
+                for i, s in enumerate(starts):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(raw[s : s + frame_bytes])
+                    totals.append(n_frames)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames, "n_frames": totals}
+            )
+
+    return df.mapInPandas(run, FRAMES_SCHEMA)
+
+
 def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for plumbing tests."""
     rng = np.random.default_rng(seed)

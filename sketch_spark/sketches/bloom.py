@@ -72,6 +72,20 @@ class BloomFilter(Sketch):
         np.bitwise_or(self.words, other.words, out=self.words)
         return self
 
+    def intersect(self, other: "BloomFilter") -> "BloomFilter":
+        """Bitwise AND (reference `&=` bf.h:439): a filter that may-contain
+        only items present in both (superset of the true intersection)."""
+        self._check_mergeable(other)
+        np.bitwise_and(self.words, other.words, out=self.words)
+        return self
+
+    def symmetric_difference(self, other: "BloomFilter") -> "BloomFilter":
+        """Bitwise XOR (reference `^=` bf.h:465): bit-level symmetric
+        difference (popcount ≈ bits unique to either side)."""
+        self._check_mergeable(other)
+        np.bitwise_xor(self.words, other.words, out=self.words)
+        return self
+
     # -- queries ---------------------------------------------------------------
     def may_contain(self, values: np.ndarray) -> np.ndarray:
         """Boolean array: False = definitely absent (no false negatives)."""

@@ -195,6 +195,28 @@ class CountingBottomKMinHash(Sketch):
         kth = float(self.values[self.k - 1])
         return self.k * (2.0**64) / kth if kth else float(n)
 
+    def tf_idf_similarity(self, other: "CountingBottomKMinHash", idf: dict | None = None) -> float:
+        """tf-idf-weighted histogram intersection over the shared bottom-k
+        values (reference FinalRMinHash::tf_idf, mh.h:347-372): each matched
+        value contributes min(tf_a, tf_b)·idf vs max(tf_a, tf_b)·idf. With
+        no idf table every weight is 1 and this equals
+        ``histogram_intersection``."""
+        self._check_mergeable(other)
+        common, ia, ib = np.intersect1d(
+            self.values, other.values, assume_unique=True, return_indices=True
+        )
+        if idf:
+            w = np.array([idf.get(int(v), 1.0) for v in common], dtype=np.float64)
+        else:
+            w = np.ones(len(common))
+        ca, cb = self.counts[ia].astype(np.float64), other.counts[ib].astype(np.float64)
+        s_min = float((np.minimum(ca, cb) * w).sum())
+        s_max = float((np.maximum(ca, cb) * w).sum())
+        only_a = float(self.counts.sum() - self.counts[ia].sum())
+        only_b = float(other.counts.sum() - other.counts[ib].sum())
+        denom = s_max + only_a + only_b
+        return s_min / denom if denom else 0.0
+
     def _params(self) -> dict[str, Any]:
         return {"k": self.k, "seed": self.seed}
 

@@ -56,6 +56,11 @@ class SketchSpec:
     col: str
     params: dict[str, Any] = field(default_factory=dict)
 
+    def __post_init__(self) -> None:
+        # fail fast on the driver: an invalid kind/params combination should
+        # not surface as an executor-side task failure
+        self.new()
+
     def new(self) -> Sketch:
         return make_sketch(self.kind, **self.params)
 
@@ -162,7 +167,9 @@ def tree_merge_states(states: DataFrame, fanout: int = 16) -> dict[str, Sketch]:
     rdd = rdd.mapPartitions(_fold_named_states)
     while nparts > fanout:
         nparts = max(fanout, nparts // fanout)
-        rdd = rdd.coalesce(nparts).mapPartitions(_fold_named_states)
+        # shuffle=True: narrow coalesce would collapse the upstream partial-
+        # aggregation stage to `nparts` tasks; the shuffle moves only states
+        rdd = rdd.coalesce(nparts, shuffle=True).mapPartitions(_fold_named_states)
     out: dict[str, Sketch] = {}
     for name, blob in rdd.collect():
         sk = from_bytes(blob)

@@ -129,11 +129,14 @@ def build_sketches_from_parquet(
     # disabled binomial tree (mpiParallelIO.cpp:301-345). Fanout 8 keeps the
     # serial driver fold tiny (≤ 8 states) while the heavy fold levels run as
     # parallel tasks.
+    # NOTE shuffle=True: a narrow coalesce would collapse the *map* stage to
+    # `nparts` tasks (losing scan parallelism); shuffling the kilobyte-scale
+    # states keeps the scan at full width and only the fold runs narrow
     fanout = 8
     nparts = n_slices
     while nparts > fanout:
         nparts = max(fanout, nparts // fanout)
-        rdd = rdd.coalesce(nparts).mapPartitions(_fold_states)
+        rdd = rdd.coalesce(nparts, shuffle=True).mapPartitions(_fold_states)
     collected = rdd.collect()
     if not collected:  # all files empty → identity sketches
         return {s.name: s.new() for s in specs}

@@ -88,3 +88,19 @@ def test_serialization_round_trip():
     np.testing.assert_array_equal(
         bf2.may_contain(PRESENT[:1000]), bf.may_contain(PRESENT[:1000])
     )
+
+
+def test_intersect_and_symmetric_difference():
+    a = BloomFilter(l2sz=16, nh=3).update(np.arange(0, 2000, dtype=np.int64))
+    b = BloomFilter(l2sz=16, nh=3).update(np.arange(1000, 3000, dtype=np.int64))
+    inter = a.copy()
+    inter.intersect(b)
+    # no false negatives on the true intersection
+    assert inter.may_contain(np.arange(1000, 2000, dtype=np.int64)).all()
+    xor = a.copy()
+    xor.symmetric_difference(b)
+    # xor popcount ≈ bits unique to either side
+    assert xor.popcount() > 0
+    both = a.copy()
+    both.intersect(a)
+    assert both.to_bytes() == a.to_bytes()  # idempotent with self

@@ -117,3 +117,17 @@ def test_counting_minhash_counts_accumulate():
     a.update(np.array([7, 7, 7], dtype=np.int64))
     a.update(np.array([7], dtype=np.int64))
     assert a.counts.sum() == 4
+
+
+def test_tf_idf_similarity():
+    xs = np.array([1, 1, 1, 2, 3], dtype=np.int64)
+    ys = np.array([1, 2, 2, 4], dtype=np.int64)
+    a = CountingBottomKMinHash(k=64).update(xs)
+    b = CountingBottomKMinHash(k=64).update(ys)
+    # uniform idf == histogram intersection
+    assert a.tf_idf_similarity(b) == pytest.approx(a.histogram_intersection(b))
+    # weighting shared values changes the score monotonically
+    from sketch_spark.hashing import hash_tokens
+    h1 = int(hash_tokens(np.array([1], dtype=np.int64))[0])
+    weighted = a.tf_idf_similarity(b, idf={h1: 10.0})
+    assert weighted != a.tf_idf_similarity(b)

@@ -272,3 +272,30 @@ def test_sources_parquet_and_iceberg_gate(spark, fixtures, tmp_path):
         load_table(spark, "cat.db.t", fmt="iceberg")
     with pytest.raises(ValueError, match="unknown fmt"):
         load_table(spark, "x", fmt="orc")
+
+
+def test_resize_images_plumbing(spark):
+    from sketch_spark.pipeline.multimodal import resize_images, synth_media_df
+
+    media = synth_media_df(spark, n=16)
+    rows = resize_images(media, out_w=4, out_h=4).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert len(r["pixels"]) == 16 and r["ok"]
+        assert all(0.0 <= v <= 1.0 for v in r["pixels"])
+    # deterministic
+    rows2 = resize_images(synth_media_df(spark, n=16), out_w=4, out_h=4).collect()
+    assert [r["pixels"] for r in rows] == [r["pixels"] for r in rows2]
+
+
+def test_sample_frames_plumbing(spark):
+    from sketch_spark.pipeline.multimodal import sample_frames, synth_media_df
+
+    media = synth_media_df(spark, n=8)
+    rows = sample_frames(media, n_frames=4, frame_bytes=8).collect()
+    assert len(rows) == 8 * 4  # one row per (media, frame)
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+        assert len(bytes(r["frame"])) == 8 and r["n_frames"] == 4
+    assert all(sorted(x["frame_idx"] for x in v) == [0, 1, 2, 3] for v in by_media.values())

@@ -23,7 +23,6 @@ from typing import Any
 
 import numpy as np
 
-from sketch_spark.hashing import hash_tokens
 from sketch_spark.sketches.base import Sketch, register
 
 

@@ -17,6 +17,7 @@ Design contract (see SURVEY.md):
 """
 
 from sketch_spark.sketches import (  # noqa: F401
+    BBitMinHash,
     BloomFilter,
     BottomKMinHash,
     CountingBottomKMinHash,

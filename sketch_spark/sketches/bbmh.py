@@ -1,0 +1,147 @@
+"""One-permutation b-bit MinHash — vectorized NumPy kernel.
+
+Mirrors the reference `BBitMinHasher`/`FinalBBitMinHash` (/root/reference/
+include/sketch/bbmh.h:836-1100, 233-), re-derived from the published
+sources (Li & König, "b-Bit Minwise Hashing", WWW 2010; Shrivastava,
+"Optimal Densification for One Permutation Hashing", ICML 2017):
+
+  * one permutation: a single 64-bit hash per item; top p bits pick one of
+    m = 2^p buckets, the low 64−p bits are the value; each bucket keeps its
+    minimum (bbmh.h splits identically — `num = 2^(64-lg m)` in the
+    harmonic estimator implies bucket-local values)
+  * merge = elementwise min with EMPTY = 2^64−1 as identity → an exact-state
+    mergeable monoid, byte-identical under any partitioning
+  * cardinality = harmonic estimate m² / Σ(vᵢ/2^(64−p)) over densified
+    minima (bbmh.h:55-78)
+  * empty buckets are filled by optimal densification — bucket i borrows
+    from the bucket selected by iterated universal hashes of (i, attempt)
+    (bbmh.h:29-52 `densifybin`); deterministic, so densified comparisons
+    are reproducible
+  * b-bit comparison: Jaccard = (match_fraction − 2^−b)/(1 − 2^−b) over the
+    low b bits of densified minima (Li-König collision correction)
+
+Accuracy targets from the reference tests (testsrc/bbmhtest.cpp:149-165):
+cardinality within 5%, Jaccard within ±0.05 at JI = 1/3.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from sketch_spark.hashing import hash_tokens, wanghash
+from sketch_spark.sketches.base import Sketch, register
+
+_U64 = np.uint64
+_EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+@register
+class BBitMinHash(Sketch):
+    kind = "bbmh"
+
+    def __init__(self, p: int = 10, b: int = 16, seed: int = 0):
+        if not 4 <= p <= 20:
+            raise ValueError("p must be in [4, 20]")
+        if not 1 <= b <= 64 - p:
+            raise ValueError("b must be in [1, 64-p]")
+        self.p = int(p)
+        self.b = int(b)
+        self.seed = int(seed)
+        self.m = 1 << p
+        self.vals = np.full(self.m, _EMPTY, dtype=np.uint64)
+
+    # -- monoid ops ----------------------------------------------------------
+    def update(self, values: np.ndarray) -> "BBitMinHash":
+        if len(values) == 0:
+            return self
+        hashed = hash_tokens(values, self.seed)
+        q = 64 - self.p
+        idx = (hashed >> _U64(q)).astype(np.int64)
+        val = hashed & _U64((1 << q) - 1)
+        np.minimum.at(self.vals, idx, val)
+        return self
+
+    def merge(self, other: "BBitMinHash") -> "BBitMinHash":
+        self._check_mergeable(other)
+        np.minimum(self.vals, other.vals, out=self.vals)
+        return self
+
+    # -- queries -------------------------------------------------------------
+    def _densified(self) -> np.ndarray:
+        """Optimal densification (bbmh.h:29-52): every empty bucket copies
+        the value of a non-empty bucket found by iterated (i, attempt)
+        universal-hash probing. Deterministic."""
+        out = self.vals.copy()
+        empty = out == _EMPTY
+        if not empty.any():
+            return out
+        if empty.all():
+            return out  # fully empty: caller handles
+        filled_src = self.vals  # probe against the ORIGINAL fill pattern
+        for i in np.flatnonzero(empty):
+            attempt = 0
+            j = int(i)
+            while filled_src[j] == _EMPTY:
+                attempt += 1
+                j = int(
+                    wanghash(np.array([(int(i) << 32) ^ attempt], dtype=np.uint64))[0]
+                    % _U64(self.m)
+                )
+            out[i] = filled_src[j]
+        return out
+
+    def cardinality_estimate(self) -> float:
+        """Harmonic estimate m²/Σ(vᵢ/2^(64−p)) when every bucket is filled
+        (bbmh.h:55-78); below fill, linear counting on the empty-bucket
+        fraction (−m·ln(m_empty/m)) — densified harmonic is strongly biased
+        there because borrowed values masquerade as observations."""
+        n_empty = int((self.vals == _EMPTY).sum())
+        if n_empty == self.m:
+            return 0.0
+        if n_empty > 0:
+            import math
+
+            return -self.m * math.log(n_empty / self.m)
+        num = float(1 << (64 - self.p))
+        s = float((self.vals.astype(np.float64) / num).sum())
+        return (self.m * self.m) / s if s else 0.0
+
+    def finalize(self, b: int | None = None) -> np.ndarray:
+        """Densified minima truncated to the low b bits (the FinalBBitMinHash
+        register array; packing to a bit-matrix is a storage detail — the
+        comparison semantics live here)."""
+        b = b or self.b
+        return self._densified() & _U64((1 << b) - 1)
+
+    def jaccard_index(self, other: "BBitMinHash") -> float:
+        """b-bit match fraction with the Li-König collision correction."""
+        self._check_mergeable(other)
+        a = self.finalize()
+        bb = other.finalize()
+        match = float((a == bb).mean())
+        c = 2.0 ** (-self.b)
+        return max(0.0, min(1.0, (match - c) / (1.0 - c)))
+
+    def union_size(self, other: "BBitMinHash") -> float:
+        return self.copy().merge(other).cardinality_estimate()
+
+    def intersection_size(self, other: "BBitMinHash") -> float:
+        return self.jaccard_index(other) * self.union_size(other)
+
+    # -- state ---------------------------------------------------------------
+    def _params(self) -> dict[str, Any]:
+        return {"p": self.p, "b": self.b, "seed": self.seed}
+
+    def _arrays(self) -> dict[str, np.ndarray]:
+        return {"vals": self.vals}
+
+    @classmethod
+    def _from_state(cls, params, arrays) -> "BBitMinHash":
+        obj = cls(**params)
+        obj.vals = arrays["vals"].astype(np.uint64)
+        return obj
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"BBitMinHash(p={self.p}, b={self.b}, filled={(self.vals != _EMPTY).sum()})"

@@ -1,0 +1,73 @@
+"""One-permutation b-bit MinHash: cardinality + Jaccard accuracy per the
+reference's own test envelope (testsrc/bbmhtest.cpp:149-165 — cardinality
+within 5%, JI within ±0.05), merge laws, densification determinism."""
+
+import numpy as np
+import pytest
+
+from sketch_spark.sketches.base import from_bytes, merge_all
+from sketch_spark.sketches.bbmh import BBitMinHash
+
+RNG = np.random.default_rng(17)
+
+
+@pytest.mark.parametrize("n", [100, 1_000, 100_000, 1_000_000])
+def test_cardinality_within_reference_envelope(n):
+    sk = BBitMinHash(p=12, b=16).update(np.arange(n, dtype=np.int64))
+    assert abs(sk.cardinality_estimate() - n) / n < 0.05  # bbmhtest:149
+
+
+def test_jaccard_one_third_geometry():
+    a = BBitMinHash(p=12, b=16).update(np.arange(0, 200_000, dtype=np.int64))
+    b = BBitMinHash(p=12, b=16).update(np.arange(100_000, 300_000, dtype=np.int64))
+    assert abs(a.jaccard_index(b) - 1.0 / 3.0) < 0.05  # bbmhtest:165
+    assert abs(a.union_size(b) - 300_000) / 300_000 < 0.05
+    assert abs(a.intersection_size(b) - 100_000) / 100_000 < 0.15
+
+
+def test_low_b_collision_correction():
+    """At b=4, random collisions are 1/16 — the Li-König correction must
+    keep the estimate unbiased-ish."""
+    a = BBitMinHash(p=12, b=4).update(np.arange(0, 200_000, dtype=np.int64))
+    b = BBitMinHash(p=12, b=4).update(np.arange(100_000, 300_000, dtype=np.int64))
+    assert abs(a.jaccard_index(b) - 1.0 / 3.0) < 0.08
+
+
+def test_merge_equals_single_pass_byte_identical():
+    data = RNG.integers(0, 2**40, 200_000, dtype=np.int64)
+    single = BBitMinHash(p=10).update(data)
+    merged = merge_all(BBitMinHash(p=10).update(c) for c in np.array_split(data, 9))
+    assert merged.to_bytes() == single.to_bytes()
+
+
+def test_empty_and_identity():
+    e = BBitMinHash(p=8)
+    assert e.cardinality_estimate() == 0.0
+    s = BBitMinHash(p=8).update(np.arange(1000, dtype=np.int64))
+    assert s.copy().merge(e).to_bytes() == s.to_bytes()
+
+
+def test_densify_deterministic():
+    sk = BBitMinHash(p=10).update(np.arange(50, dtype=np.int64))  # sparse fill
+    d1, d2 = sk._densified(), sk._densified()
+    np.testing.assert_array_equal(d1, d2)
+    assert not (d1 == np.uint64(0xFFFFFFFFFFFFFFFF)).any()
+
+
+def test_self_jaccard_is_one():
+    sk = BBitMinHash(p=10, b=16).update(np.arange(10_000, dtype=np.int64))
+    assert sk.jaccard_index(sk) == pytest.approx(1.0)
+
+
+def test_serialization_round_trip():
+    sk = BBitMinHash(p=10, b=8).update(RNG.integers(0, 2**40, 5_000, dtype=np.int64))
+    assert from_bytes(sk.to_bytes()).to_bytes() == sk.to_bytes()
+
+
+def test_param_validation():
+    with pytest.raises(ValueError):
+        BBitMinHash(p=2)
+    with pytest.raises(ValueError):
+        BBitMinHash(p=10, b=60)  # b > 64-p
+    with pytest.raises(ValueError):
+        BBitMinHash(p=10).merge(BBitMinHash(p=12))

@@ -23,6 +23,7 @@ EXACT_KINDS = [
     ("minhash", {"k": 256}),
     ("counting_minhash", {"k": 256}),
     ("multiplicity", {"r": 4}),
+    ("bbmh", {"p": 8, "b": 16}),
 ]
 
 DATA = np.random.default_rng(2024).integers(0, 2**32, 30_000, dtype=np.int64)

@@ -1,0 +1,86 @@
+"""Jaccard-accuracy sweep — the analog of the reference's benchmark/acc.cpp
+(:19-116): true JI = 1/3 geometry, trials × sketch sizes, MSE / MAE / bias
+per sketch family (HLL inclusion-exclusion, HLL joint-MLE, bottom-k
+MinHash, one-permutation b-bit MinHash).
+
+Usage: python tools/accuracy_sweep.py [--trials 20] [--n 100000]
+Prints a markdown table (recorded in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from sketch_spark.sketches.bbmh import BBitMinHash
+from sketch_spark.sketches.hll import HyperLogLog
+from sketch_spark.sketches.minhash import BottomKMinHash
+
+TRUE_JI = 1.0 / 3.0
+
+
+def one_trial(n: int, seed: int, make_pair):
+    """A, B with |A|=|B|=n, |A∩B|=n/2 → JI = 1/3 (acc.cpp geometry:
+    seeded RNG draws; overlap by construction)."""
+    rng = np.random.default_rng(1337 * (seed + 1))
+    base = rng.integers(0, 2**62, 2 * n, dtype=np.int64)
+    shared = base[: n // 2]
+    a_vals = np.concatenate([shared, base[n // 2 : n]])
+    b_vals = np.concatenate([shared, base[n : n + n // 2]])
+    sa, sb = make_pair(seed)
+    sa.update(a_vals)
+    sb.update(b_vals)
+    return sa, sb
+
+
+def sweep(trials: int, n: int):
+    rows = []
+    for lg in (9, 10, 11):  # acc.cpp sweeps m = 2^9..2^11
+        m = 1 << lg
+        fams = {
+            f"hll p={lg} (incl-excl)": (
+                lambda s, lg=lg: (HyperLogLog(p=lg), HyperLogLog(p=lg)),
+                lambda a, b: a.jaccard_index(b),
+            ),
+            f"hll p={lg} (joint MLE)": (
+                lambda s, lg=lg: (HyperLogLog(p=lg), HyperLogLog(p=lg)),
+                lambda a, b: (lambda j: j[2] / max(sum(j), 1e-12))(a.joint_estimate(b)),
+            ),
+            f"minhash k={m}": (
+                lambda s, m=m: (BottomKMinHash(k=m), BottomKMinHash(k=m)),
+                lambda a, b: a.jaccard_index(b),
+            ),
+            f"bbmh p={lg} b=16": (
+                lambda s, lg=lg: (BBitMinHash(p=lg, b=16), BBitMinHash(p=lg, b=16)),
+                lambda a, b: a.jaccard_index(b),
+            ),
+        }
+        for name, (make_pair, score) in fams.items():
+            errs = []
+            for t in range(trials):
+                sa, sb = one_trial(n, t, make_pair)
+                errs.append(score(sa, sb) - TRUE_JI)
+            e = np.array(errs)
+            rows.append((name, float((e**2).mean()), float(np.abs(e).mean()), float(e.mean())))
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=20)
+    ap.add_argument("--n", type=int, default=100_000)
+    args = ap.parse_args()
+    rows = sweep(args.trials, args.n)
+    print(f"| sketch | MSE | MAE | bias |  (true JI=1/3, n={args.n}, {args.trials} trials)")
+    print("|---|---|---|---|")
+    for name, mse, mae, bias in rows:
+        print(f"| {name} | {mse:.2e} | {mae:.4f} | {bias:+.4f} |")
+
+
+if __name__ == "__main__":
+    main()

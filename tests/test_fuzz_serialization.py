@@ -1,0 +1,51 @@
+"""Hypothesis fuzz: for every sketch kind, random parameters × random data
+must round-trip byte-identically through to_bytes/from_bytes, and the
+restored sketch must keep updating identically to the original (SURVEY.md
+§5 item 5 generalized across the whole registry)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from sketch_spark.sketches.base import _REGISTRY, from_bytes, make_sketch
+
+PARAM_STRATEGIES = {
+    "hll": st.fixed_dictionaries({"p": st.integers(4, 14)}),
+    "bloom": st.fixed_dictionaries({"l2sz": st.integers(6, 18), "nh": st.integers(1, 6)}),
+    "cms": st.fixed_dictionaries({"l2sz": st.integers(4, 14), "nh": st.integers(1, 6)}),
+    "countsketch": st.fixed_dictionaries({"l2sz": st.integers(4, 14), "nh": st.integers(1, 7)}),
+    "cs4w": st.fixed_dictionaries({"l2sz": st.integers(4, 14), "nh": st.integers(1, 7)}),
+    "minhash": st.fixed_dictionaries({"k": st.integers(1, 2048)}),
+    "counting_minhash": st.fixed_dictionaries({"k": st.integers(1, 2048)}),
+    "kll": st.fixed_dictionaries({"k": st.integers(8, 400)}),
+    "tdigest": st.fixed_dictionaries({"delta": st.floats(10, 500)}),
+    "topk": st.fixed_dictionaries({"m": st.integers(1, 512)}),
+    "multiplicity": st.fixed_dictionaries({"r": st.integers(0, 12)}),
+    "bbmh": st.fixed_dictionaries({"p": st.integers(4, 12), "b": st.integers(1, 16)}),
+}
+
+
+def test_every_registered_kind_has_a_fuzz_strategy():
+    assert set(PARAM_STRATEGIES) == set(_REGISTRY)
+
+
+@pytest.mark.parametrize("kind", sorted(PARAM_STRATEGIES))
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_roundtrip_and_resume(kind, data):
+    params = data.draw(PARAM_STRATEGIES[kind])
+    seed = data.draw(st.integers(0, 2**31))
+    n = data.draw(st.integers(0, 5000))
+    rng = np.random.default_rng(seed)
+    if kind in ("kll", "tdigest"):
+        vals = rng.lognormal(0, 2, n)
+        more = rng.lognormal(1, 1, 100)
+    else:
+        vals = rng.integers(0, 2**40, n, dtype=np.int64)
+        more = rng.integers(0, 2**40, 100, dtype=np.int64)
+    sk = make_sketch(kind, **params).update(vals)
+    blob = sk.to_bytes()
+    back = from_bytes(blob)
+    assert back.to_bytes() == blob
+    # the restored sketch must keep evolving identically
+    assert back.update(more).to_bytes() == sk.update(more).to_bytes()

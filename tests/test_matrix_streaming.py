@@ -158,3 +158,62 @@ def test_stateful_sketch_by_key_matches_batch(spark, fixtures, tmp_path):
     assert max(r["batch_id"] for r in rows) >= 1
     # n_rows accounts for every doc of each source
     assert sum(final[k]["n_rows"] for k in final) == answers["n_docs"]
+
+
+def test_windowed_sketch_stream_with_watermark(spark, tmp_path):
+    """Event-time daily windows over the events table: per-window HLL
+    estimates must match exact per-day distinct counts, and windows whose
+    end passed the watermark emit exactly one 'final' row before their
+    state is dropped."""
+    import os
+
+    from sketch_spark.streaming import windowed_sketch_stream
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    os.symlink("/root/testdata/sf0.001/events.parquet", os.path.join(src_dir, "e.parquet"))
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+    )
+    spec = SketchSpec("h", "hll", "user_id", {"p": 14})
+    out = windowed_sketch_stream(stream, "ts", spec, window="1 day", watermark="1 day")
+    sink = str(tmp_path / "sink")
+
+    def write(bdf, bid):
+        bdf.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(sink)
+
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(write)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(sink).collect()
+    assert rows, "no output rows"
+    # per-window latest estimate (any status) must match exact distinct users
+    ev = spark.read.parquet(src_dir)
+    exact = {
+        r["d"]: r["n"]
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss").alias("d")
+        ).agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    latest = {}
+    for r in rows:
+        key = r["window_start"]
+        if key not in latest or r["batch_id"] >= latest[key]["batch_id"]:
+            latest[key] = r
+    assert set(latest) == set(exact)
+    bound = 3 * 1.03896 / np.sqrt(1 << 14)
+    for day, r in latest.items():
+        assert abs(r["estimate"] - exact[day]) <= bound * exact[day] + 0.5, day
+    # finals: with availableNow over one file the watermark advances to
+    # max(ts)-1d, so every window ending before that must have finalized once
+    finals = [r for r in rows if r["status"] == "final"]
+    final_keys = [r["window_start"] for r in finals]
+    assert len(final_keys) == len(set(final_keys))  # exactly once per window
+    assert len(finals) >= len(exact) - 2  # all but the trailing window(s)

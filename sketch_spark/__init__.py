@@ -26,6 +26,7 @@ from sketch_spark.sketches import (  # noqa: F401
     CountSketch4W,
     HyperLogLog,
     KLL,
+    KMinHash,
     MisraGries,
     SampledMultiplicity,
     TDigest,

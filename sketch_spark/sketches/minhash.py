@@ -27,7 +27,7 @@ from typing import Any
 
 import numpy as np
 
-from sketch_spark.hashing import CHUNK, hash_tokens
+from sketch_spark.hashing import CHUNK, hash_tokens, seeded_hashes, splitmix64
 from sketch_spark.sketches.base import Sketch, register
 
 _MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -228,4 +228,58 @@ class CountingBottomKMinHash(Sketch):
         obj = cls(**params)
         obj.values = arrays["values"].astype(np.uint64)
         obj.counts = arrays["counts"].astype(np.int64)
+        return obj
+
+
+@register
+class KMinHash(Sketch):
+    """k-hash-functions MinHash: sig[j] = min over items of h_j(item) for k
+    independent seeded hash functions — the classic signature-vector scheme.
+
+    The reference declares this structure but its constructor unconditionally
+    throws NotImplementedError (mh.h:74-101, :90); this is a working
+    implementation. Merge = elementwise min (exact-state monoid). Jaccard =
+    fraction of equal signature slots (unbiased, Var = J(1-J)/k). Distinct
+    from `BottomKMinHash` (one hash, k minima): k-hash signatures support
+    slot-aligned similarity (the LSH banding input) at the cost of k hashes
+    per item."""
+
+    kind = "kminhash"
+
+    def __init__(self, k: int = 128, seed: int = 0):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = int(k)
+        self.seed = int(seed)
+        self._seeds = splitmix64(self.seed ^ 0x5157, self.k)
+        self.sig = np.full(self.k, _MAX, dtype=np.uint64)
+
+    def update(self, values: np.ndarray) -> "KMinHash":
+        v = np.asarray(values)
+        if len(v) == 0:
+            return self
+        for i in range(0, len(v), CHUNK):
+            hs = seeded_hashes(v[i : i + CHUNK], self._seeds)  # (k, chunk)
+            np.minimum(self.sig, hs.min(axis=1), out=self.sig)
+        return self
+
+    def merge(self, other: "KMinHash") -> "KMinHash":
+        self._check_mergeable(other)
+        np.minimum(self.sig, other.sig, out=self.sig)
+        return self
+
+    def jaccard_index(self, other: "KMinHash") -> float:
+        self._check_mergeable(other)
+        return float((self.sig == other.sig).mean())
+
+    def _params(self):
+        return {"k": self.k, "seed": self.seed}
+
+    def _arrays(self):
+        return {"sig": self.sig}
+
+    @classmethod
+    def _from_state(cls, params, arrays) -> "KMinHash":
+        obj = cls(**params)
+        obj.sig = arrays["sig"].astype(np.uint64)
         return obj

@@ -17,6 +17,7 @@ PARAM_STRATEGIES = {
     "cs4w": st.fixed_dictionaries({"l2sz": st.integers(4, 14), "nh": st.integers(1, 7)}),
     "minhash": st.fixed_dictionaries({"k": st.integers(1, 2048)}),
     "counting_minhash": st.fixed_dictionaries({"k": st.integers(1, 2048)}),
+    "kminhash": st.fixed_dictionaries({"k": st.integers(1, 512)}),
     "kll": st.fixed_dictionaries({"k": st.integers(8, 400)}),
     "tdigest": st.fixed_dictionaries({"delta": st.floats(10, 500)}),
     "topk": st.fixed_dictionaries({"m": st.integers(1, 512)}),

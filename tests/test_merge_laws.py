@@ -24,6 +24,7 @@ EXACT_KINDS = [
     ("counting_minhash", {"k": 256}),
     ("multiplicity", {"r": 4}),
     ("bbmh", {"p": 8, "b": 16}),
+    ("kminhash", {"k": 128}),
 ]
 
 DATA = np.random.default_rng(2024).integers(0, 2**32, 30_000, dtype=np.int64)

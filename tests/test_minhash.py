@@ -131,3 +131,20 @@ def test_tf_idf_similarity():
     h1 = int(hash_tokens(np.array([1], dtype=np.int64))[0])
     weighted = a.tf_idf_similarity(b, idf={h1: 10.0})
     assert weighted != a.tf_idf_similarity(b)
+
+
+# ---------------- k-hash-functions variant (reference stub, real here) --------
+
+
+def test_kminhash_jaccard_and_merge():
+    from sketch_spark.sketches.minhash import KMinHash
+
+    a = KMinHash(k=512).update(np.arange(0, 200_000, dtype=np.int64))
+    b = KMinHash(k=512).update(np.arange(100_000, 300_000, dtype=np.int64))
+    # Var = J(1-J)/k → σ ≈ 0.021; allow 3σ
+    assert abs(a.jaccard_index(b) - 1 / 3) < 0.07
+    data = RNG.integers(0, 2**40, 100_000, dtype=np.int64)
+    single = KMinHash(k=128).update(data)
+    merged = merge_all(KMinHash(k=128).update(p) for p in np.array_split(data, 7))
+    assert merged.to_bytes() == single.to_bytes()
+    assert single.jaccard_index(single) == 1.0

@@ -590,18 +590,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "token_count_by_source": (
-            "SELECT source, count(*) AS n_docs, "
-            "sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS total_tokens, "
-            "max(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS max_tokens, "
-            "min(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS min_tokens "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens, "
+            "CAST(max(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS max_tokens, "
+            "CAST(min(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS min_tokens "
             "FROM documents GROUP BY source ORDER BY source"
         ),
         "text_quality_by_source": (
             "SELECT source, "
-            "sum(length(text)) AS sum_chars, "
-            "sum(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) AS sum_punct, "
-            "sum(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS sum_digits, "
-            "sum(length(text) - length(replace(text, ' ', ''))) AS sum_spaces "
+            "CAST(sum(length(text)) AS BIGINT) AS sum_chars, "
+            "CAST(sum(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) AS BIGINT) AS sum_punct, "
+            "CAST(sum(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS BIGINT) AS sum_digits, "
+            "CAST(sum(length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS sum_spaces "
             "FROM documents GROUP BY source ORDER BY source"
         ),
         "word_jaccard_sources": (

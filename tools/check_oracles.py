@@ -66,6 +66,18 @@ def main():
         try:
             ores = con.sql(oracles[name])
             ocols = [d[0] for d in ores.description]
+            # The driver hashes typed values: DuckDB HUGEINT (un-CAST sum())
+            # hashes differently from Spark BIGINT even when values are equal
+            # (round-1 gate failure; CLAUDE.md gotcha #5). Catch it here.
+            bad_types = [
+                (d[0], str(t))
+                for d, t in zip(ores.description, ores.types)
+                if str(t) in ("HUGEINT", "UHUGEINT", "TINYINT", "SMALLINT", "UINTEGER", "UBIGINT", "FLOAT")
+            ]
+            if bad_types:
+                failures.append((name, f"oracle column types need CAST: {bad_types}"))
+                print(f"FAIL {name}: oracle column types need CAST: {bad_types}")
+                continue
             orows = ores.fetchall()
         except Exception as e:
             failures.append((name, f"oracle error: {e}"))

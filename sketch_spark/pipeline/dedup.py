@@ -53,18 +53,21 @@ def _char_shingles_flat(texts, width: int) -> tuple[np.ndarray, np.ndarray]:
 
     Returns (flat_hashes uint64, starts int64) where doc i's shingles are
     ``flat[starts[i]:starts[i+1]]``. No per-document Python in the math:
-    all docs are concatenated (zero-padded by width−1 between docs so no
-    window crosses a boundary), the rolling polynomial hash is one
-    windowed matmul over the whole blob, and per-doc window index ranges
-    come from a segmented arange. Docs shorter than the window get one
-    shingle (their zero-padded window) so every doc has ≥ 1."""
+    all docs are concatenated (zero-padded by `width` bytes between docs so
+    no window — including a short/empty doc's single window — crosses a
+    boundary), the rolling polynomial hash is one windowed matmul over the
+    whole blob, and per-doc window index ranges come from a segmented
+    arange. Docs shorter than the window get one shingle (their
+    zero-padded window) so every doc has ≥ 1, and that window reads only
+    the doc's own bytes + its padding, never the next doc (a short doc of
+    length L has L + width bytes before the next doc starts)."""
     enc = [t.encode("utf-8") if t else b"" for t in texts]
-    pad = b"\x00" * (width - 1)
+    pad = b"\x00" * width
     # trailing width zeros guarantee every window index is in range even for
     # empty/short final docs
     blob = np.frombuffer(pad.join(enc) + b"\x00" * width, dtype=np.uint8)
     lens = np.array([len(b) for b in enc], dtype=np.int64)
-    doc_starts = np.concatenate([[0], np.cumsum(lens[:-1] + (width - 1))])
+    doc_starts = np.concatenate([[0], np.cumsum(lens[:-1] + width)])
     counts = np.maximum(lens - width + 1, 1)
     starts = np.concatenate([[0], np.cumsum(counts)])
     total = int(starts[-1])
@@ -134,35 +137,57 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows_per_band: int = 8
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 8,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded LSH — a self-join on band buckets.
 
     Explode each signature into `bands` (band_id, band_hash) keys, then
-    equi-join bucket members. The join key is compact (two ints), so this is
-    a plain shuffle join Catalyst can plan; at 100 TB the bucket join
-    replaces the impossible O(n²) similarity matrix.
+    equi-join bucket members. The join key is a single 64-bit hash of
+    (band_id, band rows), so this is a plain shuffle join Catalyst can plan;
+    at 100 TB the bucket join replaces the impossible O(n²) similarity matrix.
+
+    Hot-bucket guard: a web crawl routinely has 10k+ byte-identical docs,
+    which land in the same bucket in EVERY band — an unguarded self-join
+    emits ~n²/2 pairs per band from that one bucket and kills the job at
+    scale. Buckets larger than `max_bucket_size` therefore switch from
+    all-pairs to a star pattern: each member pairs only with the bucket's
+    minimum id (linear in bucket size). The star keeps every member
+    connected to a representative, which is exactly what connected-component
+    dedup needs; only direct non-representative pairs inside oversized
+    buckets are elided (they remain reachable through the hub). Running
+    :func:`exact_dedup` first is the documented pre-step that keeps
+    byte-identical floods out of LSH entirely.
     """
-    n = bands * rows_per_band
     band_exprs = [
-        F.struct(
-            F.lit(i).alias("band_id"),
-            F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band).cast("string")).alias("band_hash"),
-        )
+        # single 64-bit key folding band_id into the hash — one long column
+        # shuffles cheaper than a (int, long) struct
+        F.xxhash64(
+            F.lit(i), F.slice("sig", i * rows_per_band + 1, rows_per_band).cast("string")
+        ).alias(f"bh{i}")
         for i in range(bands)
     ]
-    exploded = (
-        sigs.select(id_col, F.explode(F.array(*band_exprs)).alias("b"))
-        .select(id_col, "b.band_id", "b.band_hash")
+    exploded = sigs.select(id_col, F.explode(F.array(*band_exprs)).alias("bh"))
+    stats = exploded.groupBy("bh").agg(
+        F.min(id_col).alias("_bmin"), F.count("*").alias("_bsize")
     )
-    l = exploded.alias("l")
-    r = exploded.alias("r")
-    return (
-        l.join(r, ["band_id", "band_hash"])
+    tagged = exploded.join(stats, "bh")
+    small = tagged.where(F.col("_bsize") <= max_bucket_size).select(id_col, "bh")
+    l = small.alias("l")
+    r = small.alias("r")
+    pairs_small = (
+        l.join(r, "bh")
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
     )
+    pairs_big = (
+        tagged.where((F.col("_bsize") > max_bucket_size) & (F.col(id_col) != F.col("_bmin")))
+        .select(F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return pairs_small.unionByName(pairs_big).distinct()
 
 
 def signature_jaccard(sigs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -193,13 +218,23 @@ def minhash_lsh_neardups(
     num_hashes: int = 128,
     bands: int = 16,
     seed: int = 42,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
-    """End-to-end near-duplicate pairs at estimated Jaccard ≥ threshold."""
+    """End-to-end near-duplicate pairs at estimated Jaccard ≥ threshold.
+
+    At corpus scale, run :func:`exact_dedup` FIRST: byte-identical document
+    floods (the common web-crawl case) otherwise form giant LSH buckets.
+    The `max_bucket_size` star-pairing guard in :func:`lsh_candidate_pairs`
+    keeps candidate growth linear even without the pre-step, but exact
+    dedup is cheaper (one hash shuffle) and removes the flood outright."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes=num_hashes, seed=seed)
     sigs = sigs.persist()
     sigs.count()  # materialize before the self-join: otherwise both join
     # sides race to compute the signature stage and it runs twice
-    pairs = lsh_candidate_pairs(sigs, id_col, bands=bands, rows_per_band=num_hashes // bands)
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, bands=bands, rows_per_band=num_hashes // bands,
+        max_bucket_size=max_bucket_size,
+    )
     return signature_jaccard(sigs, pairs, id_col).where(F.col("est_jaccard") >= threshold)
 
 
@@ -237,17 +272,36 @@ def simhash_signatures(
     return src.mapInArrow(sign, f"{id_col} {id_type}, simhash bigint")
 
 
-def simhash_neardups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_neardups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int = 64,
+) -> DataFrame:
     """Pairs with identical SimHash (bucket join; Hamming-k via rotations is
-    the same join repeated k times — kept simple here)."""
+    the same join repeated k times — kept simple here).
+
+    Same hot-bucket guard as :func:`lsh_candidate_pairs`: buckets above
+    `max_bucket_size` use star pairing against the bucket-min id so a flood
+    of identical docs yields O(n) pairs, not O(n²)."""
     sigs = simhash_signatures(df, text_col, id_col)
-    l = sigs.alias("l")
-    r = sigs.alias("r")
-    return (
+    stats = sigs.groupBy("simhash").agg(
+        F.min(id_col).alias("_bmin"), F.count("*").alias("_bsize")
+    )
+    tagged = sigs.join(stats, "simhash")
+    small = tagged.where(F.col("_bsize") <= max_bucket_size).select(id_col, "simhash")
+    l = small.alias("l")
+    r = small.alias("r")
+    pairs_small = (
         l.join(r, "simhash")
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
     )
+    pairs_big = (
+        tagged.where((F.col("_bsize") > max_bucket_size) & (F.col(id_col) != F.col("_bmin")))
+        .select(F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return pairs_small.unionByName(pairs_big)
 
 
 def ngram_jaccard_pairs(

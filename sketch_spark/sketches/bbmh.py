@@ -116,8 +116,14 @@ class BBitMinHash(Sketch):
         return self._densified() & _U64((1 << b) - 1)
 
     def jaccard_index(self, other: "BBitMinHash") -> float:
-        """b-bit match fraction with the Li-König collision correction."""
+        """b-bit match fraction with the Li-König collision correction.
+
+        Empty sketches carry no evidence: densification would leave every
+        bucket at the sentinel and spuriously report J≈1, so either side
+        being empty returns 0.0."""
         self._check_mergeable(other)
+        if bool((self.vals == _EMPTY).all()) or bool((other.vals == _EMPTY).all()):
+            return 0.0
         a = self.finalize()
         bb = other.finalize()
         match = float((a == bb).mean())

@@ -270,6 +270,10 @@ class KMinHash(Sketch):
 
     def jaccard_index(self, other: "KMinHash") -> float:
         self._check_mergeable(other)
+        # never-updated slots sit at the _MAX sentinel on both sides and
+        # would count as matches; two empty sketches must report 0, not 1
+        if bool((self.sig == _MAX).all()) or bool((other.sig == _MAX).all()):
+            return 0.0
         return float((self.sig == other.sig).mean())
 
     def _params(self):

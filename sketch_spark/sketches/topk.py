@@ -79,8 +79,19 @@ class MisraGries(Sketch):
             uniq, cnt = np.unique(v, return_counts=True)
             cnt = cnt.astype(np.int64)
         else:
+            c = np.asarray(counts)
             uniq, inv = np.unique(v, return_inverse=True)
-            cnt = np.bincount(inv, weights=np.asarray(counts, dtype=np.float64)).astype(np.int64)
+            if c.dtype.kind in "iub":
+                # integer weights: exact int64 accumulation (no float64
+                # round-trip, which silently truncates above 2^53)
+                cnt = np.zeros(len(uniq), dtype=np.int64)
+                np.add.at(cnt, inv, c.astype(np.int64))
+            else:
+                # fractional weights: accumulate in float64, then round to
+                # nearest (not truncate) — a batch of 0.9s contributes ~0.9n,
+                # not 0. Counts are integral by contract; document rounding.
+                acc = np.bincount(inv, weights=c.astype(np.float64), minlength=len(uniq))
+                cnt = np.rint(acc).astype(np.int64)
         return self._absorb(uniq.astype(np.int64), cnt)
 
     def merge(self, other: "MisraGries") -> "MisraGries":

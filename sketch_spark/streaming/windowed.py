@@ -56,6 +56,12 @@ def windowed_sketch_stream(
     dropped (with a final emission) once the watermark passes its end.
     """
     spec_tuple = (spec.kind, spec.col, dict(spec.params), spec.is_quantile)
+    # The window-struct key arrives in the UDF as tz-NAIVE datetimes rendered
+    # in the SESSION timezone; naive .timestamp() would re-interpret them in
+    # the executor's SYSTEM timezone and shift the timeout (possibly behind
+    # the watermark → setTimeoutTimestamp raises). Capture the session tz at
+    # plan time and attach it explicitly when computing epoch millis.
+    session_tz = stream.sparkSession.conf.get("spark.sql.session.timeZone", "")
     # watermarks require TIMESTAMP (with local tz); parquet often carries NTZ
     stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
 
@@ -73,7 +79,14 @@ def windowed_sketch_stream(
         start_dt = win_row["start"] if not hasattr(win_row, "start") else win_row.start
         end_dt = win_row["end"] if not hasattr(win_row, "end") else win_row.end
         win_start = start_dt.strftime("%Y-%m-%d %H:%M:%S")
-        end_ms = int(end_dt.timestamp() * 1000)
+        try:
+            from zoneinfo import ZoneInfo
+
+            end_ms = int(end_dt.replace(tzinfo=ZoneInfo(session_tz)).timestamp() * 1000)
+        except Exception:
+            # offset-style tz ids ("GMT+8") or empty conf: fall back to the
+            # executor-local interpretation (correct when system tz == session tz)
+            end_ms = int(end_dt.timestamp() * 1000)
         if state.hasTimedOut:
             blob, n_seen = state.get
             sk = from_bytes(bytes(blob))

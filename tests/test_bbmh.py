@@ -71,3 +71,12 @@ def test_param_validation():
         BBitMinHash(p=10, b=60)  # b > 64-p
     with pytest.raises(ValueError):
         BBitMinHash(p=10).merge(BBitMinHash(p=12))
+
+
+def test_empty_vs_empty_jaccard_zero():
+    """Regression (round-2 advice): two never-updated sketches share the
+    EMPTY sentinel in every bucket; that is no evidence of similarity."""
+    a, b = BBitMinHash(p=8), BBitMinHash(p=8)
+    assert a.jaccard_index(b) == 0.0
+    c = BBitMinHash(p=8).update(np.arange(1000, dtype=np.int64))
+    assert a.jaccard_index(c) == 0.0

@@ -148,3 +148,14 @@ def test_kminhash_jaccard_and_merge():
     merged = merge_all(KMinHash(k=128).update(p) for p in np.array_split(data, 7))
     assert merged.to_bytes() == single.to_bytes()
     assert single.jaccard_index(single) == 1.0
+
+
+def test_kminhash_empty_vs_empty_jaccard_zero():
+    """Regression (round-2 advice): the _MAX sentinel must not count as a
+    slot match between unfilled sketches."""
+    from sketch_spark.sketches.minhash import KMinHash
+
+    a, b = KMinHash(k=64), KMinHash(k=64)
+    assert a.jaccard_index(b) == 0.0
+    c = KMinHash(k=64).update(np.arange(1000, dtype=np.int64))
+    assert a.jaccard_index(c) == 0.0

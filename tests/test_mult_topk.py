@@ -134,3 +134,16 @@ def test_mg_serialization_round_trip():
     back = from_bytes(sk.to_bytes())
     assert back.to_bytes() == sk.to_bytes()
     assert back.error_bound() == sk.error_bound()
+
+
+def test_mg_weighted_update_fractional_and_large():
+    """Regression (round-2 advice): fractional weights round to nearest, not
+    truncate toward zero; integer weights accumulate exactly in int64
+    (no float64 round-trip above 2^53)."""
+    sk = MisraGries(m=16)
+    sk.update(np.full(10, 5, dtype=np.int64), counts=np.full(10, 0.9))
+    assert dict(sk.topk(1))[5] == 9  # 10 × 0.9 → 9, not 0
+    big = MisraGries(m=16)
+    w = np.array([2**60, 2**60 + 1], dtype=np.int64)
+    big.update(np.array([1, 1], dtype=np.int64), counts=w)
+    assert dict(big.topk(1))[1] == 2**61 + 1  # exact int accumulation

@@ -467,6 +467,243 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_countsketch_heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-frequency bound check for BOTH signed count sketches — the
+    plain Count sketch (reference csbase_t, ccm.h:378-555) and the 4-wise
+    polynomial-hash variant (cs4wbase_t, ccm.h:558-741) — over lineitem
+    l_partkey, mirroring mctest.cpp:55-76: |median-of-rows est − true| must
+    stay within 3·sqrt(F2/w) for the exact top-10 keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    sks = build_sketches(
+        li,
+        [
+            SketchSpec("countsketch", "countsketch", "l_partkey", {"l2sz": 16, "nh": 5}),
+            SketchSpec("cs4w", "cs4w", "l_partkey", {"l2sz": 16, "nh": 5}),
+        ],
+    )
+    top = (
+        li.groupBy("l_partkey").count()
+        .orderBy(F.desc("count"), F.asc("l_partkey"))
+        .limit(10)
+        .collect()
+    )
+    f2 = li.groupBy("l_partkey").count().select(F.sum(F.col("count") * F.col("count"))).first()[0]
+    bound = max(3.0 * float(np.sqrt(f2 / (1 << 16))), 1.0)
+    keys = np.array([r["l_partkey"] for r in top], dtype=np.int64)
+    rows = []
+    for kind in ("countsketch", "cs4w"):
+        ests = sks[kind].query(keys)
+        for i, r in enumerate(top):
+            rows.append(
+                Row(
+                    sketch_kind=kind,
+                    l_partkey=int(r["l_partkey"]),
+                    exact_cnt=int(r["count"]),
+                    within_bound=bool(abs(float(ests[i]) - r["count"]) <= bound),
+                )
+            )
+    return spark.createDataFrame(rows).orderBy("sketch_kind", F.desc("exact_cnt"), "l_partkey")
+
+
+def q_counting_minhash_hist_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram intersection Σmin/Σmax between the word MULTISETS of the
+    two lexicographically-first documents sources via Counting MinHash
+    (reference CountingRangeMinHash, mh.h:457-708; exact-multiset-algebra
+    test pattern cmtest.cpp:26-33). k=8192 exceeds each source's
+    vocabulary, so the sketch value is exact and equals the SQL
+    Σ least/Σ greatest over per-word counts."""
+    from sketch_spark.sketches.base import from_bytes
+
+    docs = _t(spark, sf_dir, "documents")
+    srcs = sorted(r[0] for r in docs.select("source").distinct().collect())[:2]
+    words = docs.where(F.col("source").isin(srcs)).select(
+        "source", F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("w")
+    )
+    states = sketch_by_key(words, "source", [SketchSpec("c", "counting_minhash", "w", {"k": 8192})])
+    got = {r["source"]: r["state"] for r in states.collect()}
+    ca, cb = from_bytes(bytes(got[srcs[0]])), from_bytes(bytes(got[srcs[1]]))
+    hist = ca.histogram_intersection(cb)
+    return spark.createDataFrame(
+        [Row(source_a=srcs[0], source_b=srcs[1], hist_intersection6=float(round(hist, 6)))]
+    )
+
+
+def _partkey_range_sets(spark: SparkSession, sf_dir: str):
+    """Two filtered l_partkey sets with genuinely partial overlap (the
+    reference's own known-overlap fixture pattern, testsrc/mhtest.cpp:40-68
+    / test_b.txt) — A = keys < 1400, B = keys ≥ 700."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_partkey") < 1400)
+    b = li.where(F.col("l_partkey") >= 700)
+    n_inter = li.where((F.col("l_partkey") >= 700) & (F.col("l_partkey") < 1400)).select(
+        F.countDistinct("l_partkey")
+    ).first()[0]
+    n_union = li.select(F.countDistinct("l_partkey")).first()[0]
+    return a, b, int(n_inter), int(n_union)
+
+
+def q_bbmh_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation b-bit MinHash Jaccard (reference BBitMinHasher,
+    bbmh.h:836-1100; envelope bbmhtest.cpp:149-165 JI ± 0.05) between two
+    filtered l_partkey ranges with known overlap."""
+    a, b, n_inter, n_union = _partkey_range_sets(spark, sf_dir)
+    spec = {"p": 12, "b": 16}
+    sa = build_sketches(a, [SketchSpec("s", "bbmh", "l_partkey", spec)])["s"]
+    sb = build_sketches(b, [SketchSpec("s", "bbmh", "l_partkey", spec)])["s"]
+    est = sa.jaccard_index(sb)
+    exact = n_inter / n_union if n_union else 0.0
+    return spark.createDataFrame(
+        [
+            Row(
+                n_intersect=n_inter,
+                n_union=n_union,
+                within_tol=bool(abs(est - exact) <= 0.05),
+            )
+        ]
+    )
+
+
+def q_kminhash_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hash-functions MinHash Jaccard (the reference's KMinHash is a
+    throwing stub, mh.h:90; working here) between the same filtered
+    l_partkey ranges; Var = J(1−J)/k → k=2048 keeps 3σ under 0.05."""
+    a, b, n_inter, n_union = _partkey_range_sets(spark, sf_dir)
+    sa = build_sketches(a, [SketchSpec("s", "kminhash", "l_partkey", {"k": 2048})])["s"]
+    sb = build_sketches(b, [SketchSpec("s", "kminhash", "l_partkey", {"k": 2048})])["s"]
+    est = sa.jaccard_index(sb)
+    exact = n_inter / n_union if n_union else 0.0
+    return spark.createDataFrame(
+        [
+            Row(
+                n_intersect=n_inter,
+                n_union=n_union,
+                within_tol=bool(abs(est - exact) <= 0.05),
+            )
+        ]
+    )
+
+
+def q_lsh_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup recall gate: plant one exact copy of every 10th
+    document (and one near-copy of every 10th+5 doc for realism), run the
+    full signatures → banded-bucket-join → verify pipeline, and require
+    every planted exact pair to be recovered at est_jaccard = 1.0.
+    Identical text ⇒ identical signature ⇒ same bucket in every band, so
+    recall of exact pairs is deterministic, not statistical."""
+    from sketch_spark.pipeline.dedup import minhash_lsh_neardups
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    near = docs.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing words appended")).alias("text"),
+    )
+    corpus = docs.unionByName(dup).unionByName(near)
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_neardups(corpus, threshold=1.0, num_hashes=128, bands=32)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    planted = [int(r["doc_id"]) for r in docs.where(F.col("doc_id") % 10 == 0).collect()]
+    recall_all = all((i, i + 1_000_000) in found for i in planted)
+    return spark.createDataFrame(
+        [Row(n_exact_dup_pairs=len(planted), lsh_recall_all=bool(recall_all))]
+    )
+
+
+def q_threshold_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FilterHLL capability (reference filterhll.h:11-113): distinct users
+    with ≥ 10 events, via repartition-co-located CMS-gated HLL insertion —
+    estimate must sit within the HLL bound of the exact HAVING count."""
+    from sketch_spark.spark.filterhll import threshold_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = threshold_distinct(ev, "user_id", 10, p=14, l2sz=18, nh=4)
+    exact = ev.groupBy("user_id").count().where(F.col("count") >= 10).count()
+    bound = 3.0 * 1.03896 / np.sqrt(1 << 14)
+    ok = abs(est - exact) <= max(bound * exact, 1.0)
+    return spark.createDataFrame(
+        [Row(exact_heavy_users=int(exact), within_bound=bool(ok))]
+    )
+
+
+def q_streaming_windowed_daily_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed streaming gate: daily tumbling windows with a
+    1-day watermark over the events stream (applyInPandasWithState +
+    EventTimeTimeout finalization). Each window's latest streamed HLL
+    estimate must hit the bound vs the exact per-day distinct count, and no
+    window may emit more than one 'final' row."""
+    import shutil
+    import tempfile
+
+    from sketch_spark.streaming import windowed_sketch_stream
+
+    work = tempfile.mkdtemp(prefix="sketch_win_")
+    try:
+        src_dir = os.path.join(work, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"), os.path.join(src_dir, "events.parquet")
+        )
+        schema = spark.read.parquet(src_dir).schema
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        out = windowed_sketch_stream(
+            stream, "ts", SketchSpec("h", "hll", "user_id", {"p": 14}),
+            window="1 day", watermark="1 day",
+        )
+        sink = os.path.join(work, "sink")
+
+        def write(bdf, bid):
+            bdf.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(sink)
+
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(write)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(sink).collect()
+        latest: dict = {}
+        finals: dict = {}
+        for r in rows:
+            k = r["window_start"]
+            if k not in latest or r["batch_id"] >= latest[k]["batch_id"]:
+                latest[k] = r
+            if r["status"] == "final":
+                finals[k] = finals.get(k, 0) + 1
+        ev = spark.read.parquet(src_dir)
+        exact = {
+            r["d"]: r["n"]
+            for r in ev.groupBy(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss").alias("d")
+            )
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        bound = 3.0 * 1.03896 / np.sqrt(1 << 14)
+        finals_unique = all(c == 1 for c in finals.values())
+        out_rows = [
+            Row(
+                day=d,
+                exact_distinct=int(exact[d]),
+                within_bound=bool(
+                    d in latest
+                    and abs(latest[d]["estimate"] - exact[d]) <= bound * exact[d] + 0.5
+                ),
+                finals_unique=bool(finals_unique),
+            )
+            for d in sorted(exact)
+        ]
+        return spark.createDataFrame(out_rows)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_distinct_parts": q_hll_distinct_parts,
@@ -491,6 +728,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_recall": q_ann_topk_recall,
         "bpe_token_count_by_source": q_bpe_token_count_by_source,
         "cosine_topk": q_cosine_topk,
+        "countsketch_heavy_parts": q_countsketch_heavy_parts,
+        "counting_minhash_hist_sources": q_counting_minhash_hist_sources,
+        "bbmh_jaccard_parts": q_bbmh_jaccard_parts,
+        "kminhash_jaccard_parts": q_kminhash_jaccard_parts,
+        "lsh_neardup_docs": q_lsh_neardup_docs,
+        "threshold_distinct_users": q_threshold_distinct_users,
+        "streaming_windowed_daily_hll": q_streaming_windowed_daily_hll,
     }
 
 
@@ -680,6 +924,63 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count_by_source": (
             r"SELECT source, CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens "
             r"FROM documents GROUP BY source ORDER BY source"
+        ),
+        "countsketch_heavy_parts": (
+            "SELECT k.sketch_kind, t.l_partkey, t.exact_cnt, TRUE AS within_bound "
+            "FROM (SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt FROM lineitem "
+            "      GROUP BY l_partkey ORDER BY exact_cnt DESC, l_partkey LIMIT 10) t "
+            "CROSS JOIN (VALUES ('countsketch'), ('cs4w')) AS k(sketch_kind) "
+            "ORDER BY k.sketch_kind, t.exact_cnt DESC, t.l_partkey"
+        ),
+        "counting_minhash_hist_sources": (
+            r"""
+            WITH srcs AS (
+              SELECT source FROM documents GROUP BY source ORDER BY source LIMIT 2
+            ), tok AS (
+              SELECT d.source, u.w, CAST(count(*) AS BIGINT) AS c
+              FROM documents d,
+                   unnest(list_filter(string_split_regex(d.text, '\s+'), x -> x <> '')) AS u(w)
+              WHERE d.source IN (SELECT source FROM srcs)
+              GROUP BY d.source, u.w
+            ), a AS (
+              SELECT w, c FROM tok WHERE source = (SELECT min(source) FROM srcs)
+            ), b AS (
+              SELECT w, c FROM tok WHERE source = (SELECT max(source) FROM srcs)
+            ), joined AS (
+              SELECT coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+              FROM a FULL OUTER JOIN b ON a.w = b.w
+            )
+            SELECT (SELECT min(source) FROM srcs) AS source_a,
+                   (SELECT max(source) FROM srcs) AS source_b,
+                   round(CAST(sum(least(ca, cb)) AS DOUBLE) / sum(greatest(ca, cb)), 6) AS hist_intersection6
+            FROM joined
+            """
+        ),
+        "bbmh_jaccard_parts": (
+            "SELECT CAST((SELECT count(DISTINCT l_partkey) FROM lineitem "
+            "             WHERE l_partkey >= 700 AND l_partkey < 1400) AS BIGINT) AS n_intersect, "
+            "CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS BIGINT) AS n_union, "
+            "TRUE AS within_tol"
+        ),
+        "kminhash_jaccard_parts": (
+            "SELECT CAST((SELECT count(DISTINCT l_partkey) FROM lineitem "
+            "             WHERE l_partkey >= 700 AND l_partkey < 1400) AS BIGINT) AS n_intersect, "
+            "CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS BIGINT) AS n_union, "
+            "TRUE AS within_tol"
+        ),
+        "lsh_neardup_docs": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_exact_dup_pairs, TRUE AS lsh_recall_all "
+            "FROM documents WHERE doc_id % 10 = 0"
+        ),
+        "threshold_distinct_users": (
+            "SELECT CAST(count(*) AS BIGINT) AS exact_heavy_users, TRUE AS within_bound "
+            "FROM (SELECT user_id FROM events GROUP BY user_id HAVING count(*) >= 10)"
+        ),
+        "streaming_windowed_daily_hll": (
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct, "
+            "TRUE AS within_bound, TRUE AS finals_unique "
+            "FROM events GROUP BY 1 ORDER BY day"
         ),
         "cosine_topk": (
             """

@@ -229,3 +229,24 @@ def test_empty_input_yields_identity_sketches(spark, tmp_path):
     want = make_sketch("hll", p=10)
     assert via_df["h"].to_bytes() == want.to_bytes()
     assert via_files["h"].to_bytes() == want.to_bytes()
+
+
+def test_threshold_distinct_matches_exact(spark):
+    """FilterHLL composition: distinct values occurring >= t times. Copies of
+    each value are scattered across partitions first — the operator's own
+    repartition(col) must re-co-locate them or per-partition gating breaks."""
+    from sketch_spark.spark.filterhll import threshold_distinct
+
+    rows = [(v,) for v in range(200) for _ in range(v % 7 + 1)]
+    df = spark.createDataFrame(rows, "v long").repartition(8)
+    exact = sum(1 for v in range(200) if v % 7 + 1 >= 4)
+    est = threshold_distinct(df, "v", 4, p=12, l2sz=16)
+    assert abs(est - exact) <= 3 * 1.03896 / np.sqrt(1 << 12) * exact + 1
+
+
+def test_threshold_distinct_threshold_one_equals_hll(spark):
+    from sketch_spark.spark.filterhll import threshold_distinct
+
+    df = spark.createDataFrame([(v,) for v in range(500)], "v long")
+    est = threshold_distinct(df, "v", 1, p=12)
+    assert abs(est - 500) <= 3 * 1.03896 / np.sqrt(1 << 12) * 500 + 1

@@ -583,6 +583,56 @@ def q_kminhash_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_smh_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SuperMinHash Jaccard (reference bbmh.h:470-697, acc.cpp SMH column;
+    Ertl arXiv:1706.05698) between the same filtered l_partkey ranges;
+    Var < J(1−J)/m, m=1024 → 4σ ≈ 0.06."""
+    a, b, n_inter, n_union = _partkey_range_sets(spark, sf_dir)
+    sa = build_sketches(a, [SketchSpec("s", "smh", "l_partkey", {"m": 1024})])["s"]
+    sb = build_sketches(b, [SketchSpec("s", "smh", "l_partkey", {"m": 1024})])["s"]
+    est = sa.jaccard_index(sb)
+    exact = n_inter / n_union if n_union else 0.0
+    return spark.createDataFrame(
+        [
+            Row(
+                n_intersect=n_inter,
+                n_union=n_union,
+                within_tol=bool(abs(est - exact) <= 0.06),
+            )
+        ]
+    )
+
+
+def q_hmh_card_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperMinHash (working version of the reference's draft, mh.h:943-1283;
+    Yu-Weber arXiv:1710.08436): cardinality AND Jaccard from ONE sketch pair
+    over the filtered l_partkey ranges — cardinalities within the HLL bound,
+    Jaccard within ±0.05."""
+    a, b, n_inter, n_union = _partkey_range_sets(spark, sf_dir)
+    spec = {"p": 12, "r": 8}
+    sa = build_sketches(a, [SketchSpec("s", "hmh", "l_partkey", spec)])["s"]
+    sb = build_sketches(b, [SketchSpec("s", "hmh", "l_partkey", spec)])["s"]
+    exact_a = a.select(F.countDistinct("l_partkey")).first()[0]
+    exact_b = b.select(F.countDistinct("l_partkey")).first()[0]
+    bound = 3.0 * sa.relative_error()
+    card_ok = (
+        abs(sa.estimate() - exact_a) <= bound * exact_a + 1.0
+        and abs(sb.estimate() - exact_b) <= bound * exact_b + 1.0
+    )
+    exact_j = n_inter / n_union if n_union else 0.0
+    j_ok = abs(sa.jaccard_index(sb) - exact_j) <= 0.05
+    return spark.createDataFrame(
+        [
+            Row(
+                n_intersect=n_inter,
+                n_union=n_union,
+                card_within_bound=bool(card_ok),
+                jaccard_within_tol=bool(j_ok),
+            )
+        ]
+    )
+
+
 def q_lsh_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup recall gate: plant one exact copy of every 10th
     document (and one near-copy of every 10th+5 doc for realism), run the
@@ -732,6 +782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counting_minhash_hist_sources": q_counting_minhash_hist_sources,
         "bbmh_jaccard_parts": q_bbmh_jaccard_parts,
         "kminhash_jaccard_parts": q_kminhash_jaccard_parts,
+        "smh_jaccard_parts": q_smh_jaccard_parts,
+        "hmh_card_jaccard_parts": q_hmh_card_jaccard_parts,
         "lsh_neardup_docs": q_lsh_neardup_docs,
         "threshold_distinct_users": q_threshold_distinct_users,
         "streaming_windowed_daily_hll": q_streaming_windowed_daily_hll,
@@ -967,6 +1019,18 @@ def oracle_sql() -> dict[str, str]:
             "             WHERE l_partkey >= 700 AND l_partkey < 1400) AS BIGINT) AS n_intersect, "
             "CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS BIGINT) AS n_union, "
             "TRUE AS within_tol"
+        ),
+        "smh_jaccard_parts": (
+            "SELECT CAST((SELECT count(DISTINCT l_partkey) FROM lineitem "
+            "             WHERE l_partkey >= 700 AND l_partkey < 1400) AS BIGINT) AS n_intersect, "
+            "CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS BIGINT) AS n_union, "
+            "TRUE AS within_tol"
+        ),
+        "hmh_card_jaccard_parts": (
+            "SELECT CAST((SELECT count(DISTINCT l_partkey) FROM lineitem "
+            "             WHERE l_partkey >= 700 AND l_partkey < 1400) AS BIGINT) AS n_intersect, "
+            "CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS BIGINT) AS n_union, "
+            "TRUE AS card_within_bound, TRUE AS jaccard_within_tol"
         ),
         "lsh_neardup_docs": (
             "SELECT CAST(count(*) AS BIGINT) AS n_exact_dup_pairs, TRUE AS lsh_recall_all "

@@ -34,7 +34,13 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from sketch_spark.fixtures import ensure_token_table
-from sketch_spark.pipeline.dedup import dedup_stats, minhash_lsh_neardups
+from sketch_spark.pipeline.dedup import (
+    dedup_stats,
+    lsh_candidate_pairs,
+    minhash_lsh_neardups,
+    minhash_signatures,
+    signature_jaccard,
+)
 from sketch_spark.pipeline.similarity import brute_force_topk
 from sketch_spark.spark.agg import SketchSpec, build_sketches, sketch_by_key
 from sketch_spark.spark.files import build_sketches_from_parquet
@@ -49,7 +55,46 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--json-extra", action="store_true")
+    ap.add_argument(
+        "--xl",
+        action="store_true",
+        help="flagship-only run over the 2M-doc / ~612M-token cached table "
+        "(the sf1-scale committed metric; reuses .fixtures_cache/tok_2000000_42)",
+    )
     args = ap.parse_args()
+
+    if args.xl:
+        cores = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        spark = get_spark(cores=cores, app=f"sketch_bench_xl_c{cores}")
+        tok_dir = ensure_token_table(n_docs=2_000_000)
+        tok = spark.read.parquet(tok_dir)
+        n_tokens = int(tok.select(F.sum("n_tok")).first()[0])
+        specs = [
+            SketchSpec("hll", "hll", "tokens", {"p": 14}),
+            SketchSpec("cms", "cms", "tokens", {"l2sz": 18, "nh": 4}),
+            SketchSpec("bloom", "bloom", "tokens", {"l2sz": 24, "nh": 3}),
+            SketchSpec("mh", "minhash", "tokens", {"k": 1024}),
+            SketchSpec("kll", "kll", "n_tok", {"k": 200}),
+        ]
+        t0 = time.perf_counter()
+        sk = build_sketches_from_parquet(spark, tok_dir, specs)
+        wall = time.perf_counter() - t0
+        assert sk["cms"].total() == n_tokens
+        print(
+            json.dumps(
+                {
+                    "metric": "flagship_xl_tokens_per_sec",
+                    "value": round(n_tokens / wall, 1),
+                    "unit": "tokens/sec",
+                    "queries": {"flagship_xl": round(wall, 3)},
+                    "sf": "xl_612M",
+                    "cores": cores,
+                    "n_tokens": n_tokens,
+                }
+            )
+        )
+        spark.stop()
+        return
 
     sf_dir = args.sf_dir
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -118,10 +163,31 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     with timed("dedup_stats"):
         dedup_stats(docs).collect()
+    # Warm the LSH plan shape on a tiny slice first: the cold first run pays
+    # one-time session costs (Python-worker spawn for this UDF chain, AQE
+    # plan compilation, codegen) that measured 2-3× the steady-state time
+    # and explained the round-1 6.6→12.3 s run-to-run variance. The timed
+    # number below is the operator, not session first-use.
+    minhash_lsh_neardups(docs.limit(200), threshold=0.7, num_hashes=64, bands=8).count()
     with timed("minhash_lsh"):
         # bands=8 → r=8 rows/band: LSH S-curve threshold (1/8)^(1/8) ≈ 0.77,
         # matched to the 0.7 cutoff (r=4 would flood candidates at ~0.5)
-        minhash_lsh_neardups(docs, threshold=0.7, num_hashes=64, bands=8).count()
+        t0 = time.perf_counter()
+        sigs = minhash_signatures(docs, num_hashes=64).persist()
+        sigs.count()
+        t1 = time.perf_counter()
+        pairs = lsh_candidate_pairs(sigs, bands=8, rows_per_band=8).persist()
+        pairs.count()
+        t2 = time.perf_counter()
+        signature_jaccard(sigs, pairs).where(F.col("est_jaccard") >= 0.7).count()
+        t3 = time.perf_counter()
+        extra["lsh_phases"] = {
+            "sign": round(t1 - t0, 3),
+            "candidates": round(t2 - t1, 3),
+            "verify": round(t3 - t2, 3),
+        }
+        sigs.unpersist()
+        pairs.unpersist()
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qrows = emb.where(F.col("vec_id") < 8).collect()
     qvecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
@@ -139,6 +205,7 @@ def main() -> None:
         "cores": cores,
         "tokens_per_sec": extra["tokens_per_sec"],
         "n_tokens": extra["n_tokens"],
+        "lsh_phases": extra.get("lsh_phases", {}),
     }
     print(json.dumps(out))
     spark.stop()

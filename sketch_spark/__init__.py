@@ -25,10 +25,12 @@ from sketch_spark.sketches import (  # noqa: F401
     CountSketch,
     CountSketch4W,
     HyperLogLog,
+    HyperMinHash,
     KLL,
     KMinHash,
     MisraGries,
     SampledMultiplicity,
+    SuperMinHash,
     TDigest,
     from_bytes,
     make_sketch,

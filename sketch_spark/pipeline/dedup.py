@@ -19,7 +19,7 @@ from typing import Iterator
 import numpy as np
 import pyarrow as pa
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from sketch_spark.hashing import splitmix64, wanghash
 from sketch_spark.pipeline.text import with_fingerprint
@@ -171,10 +171,14 @@ def lsh_candidate_pairs(
         for i in range(bands)
     ]
     exploded = sigs.select(id_col, F.explode(F.array(*band_exprs)).alias("bh"))
-    stats = exploded.groupBy("bh").agg(
-        F.min(id_col).alias("_bmin"), F.count("*").alias("_bsize")
+    # bucket size + representative via a window over bh: ONE shuffle of the
+    # exploded rows (a groupBy+join would shuffle them twice, and the stats
+    # side is not broadcastable at corpus scale), and the result stays
+    # hash-partitioned on bh so the self-join below reuses the exchange
+    w = Window.partitionBy("bh")
+    tagged = exploded.withColumn("_bsize", F.count("*").over(w)).withColumn(
+        "_bmin", F.min(id_col).over(w)
     )
-    tagged = exploded.join(stats, "bh")
     small = tagged.where(F.col("_bsize") <= max_bucket_size).select(id_col, "bh")
     l = small.alias("l")
     r = small.alias("r")
@@ -285,10 +289,10 @@ def simhash_neardups(
     `max_bucket_size` use star pairing against the bucket-min id so a flood
     of identical docs yields O(n) pairs, not O(n²)."""
     sigs = simhash_signatures(df, text_col, id_col)
-    stats = sigs.groupBy("simhash").agg(
-        F.min(id_col).alias("_bmin"), F.count("*").alias("_bsize")
+    w = Window.partitionBy("simhash")
+    tagged = sigs.withColumn("_bsize", F.count("*").over(w)).withColumn(
+        "_bmin", F.min(id_col).over(w)
     )
-    tagged = sigs.join(stats, "simhash")
     small = tagged.where(F.col("_bsize") <= max_bucket_size).select(id_col, "simhash")
     l = small.alias("l")
     r = small.alias("r")

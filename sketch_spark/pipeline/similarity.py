@@ -161,23 +161,40 @@ def embedding_neardups(
     df: DataFrame, threshold: float = 0.95,
     n_planes: int = 8, n_tables: int = 6, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: multi-table LSH bucketing
     proposes candidates (rows sharing any (table, bucket)), then exact
     cosine filters at ``threshold``. The cross product never materializes —
     candidates come from a self-equi-join on the compact (table, bucket)
-    key, the same shape as MinHash-LSH text dedup."""
+    key, the same shape as MinHash-LSH text dedup.
+
+    Hot-bucket guard (2^n_planes buckets per table is SMALL — 256 at the
+    default — so a big corpus concentrates ~n/256 rows per bucket): buckets
+    above `max_bucket_size` switch from all-pairs to star pairing against
+    the bucket-min id, keeping candidate growth linear; connectivity to a
+    representative survives, which is what connected-component dedup needs.
+    Raise n_planes with corpus size so typical buckets stay under the cap."""
     buckets = lsh_bucket_embeddings(
         df, n_planes=n_planes, n_tables=n_tables, seed=seed, id_col=id_col, vec_col=vec_col
     )
-    l = buckets.alias("l")
-    r = buckets.alias("r")
-    cand = (
+    w = Window.partitionBy("table", "bucket")
+    tagged = buckets.withColumn("_bsize", F.count("*").over(w)).withColumn(
+        "_bmin", F.min(id_col).over(w)
+    )
+    small = tagged.where(F.col("_bsize") <= max_bucket_size).select(id_col, "table", "bucket")
+    l = small.alias("l")
+    r = small.alias("r")
+    pairs_small = (
         l.join(r, ["table", "bucket"])
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
     )
+    pairs_big = (
+        tagged.where((F.col("_bsize") > max_bucket_size) & (F.col(id_col) != F.col("_bmin")))
+        .select(F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    cand = pairs_small.unionByName(pairs_big).distinct()
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)

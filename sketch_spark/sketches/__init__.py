@@ -5,8 +5,10 @@ from sketch_spark.sketches.bbmh import BBitMinHash  # noqa: F401
 from sketch_spark.sketches.bloom import BloomFilter, optimal_nhashes  # noqa: F401
 from sketch_spark.sketches.cms import CountMinSketch, CountSketch, CountSketch4W  # noqa: F401
 from sketch_spark.sketches.hll import HyperLogLog  # noqa: F401
+from sketch_spark.sketches.hmh import HyperMinHash  # noqa: F401
 from sketch_spark.sketches.kll import KLL  # noqa: F401
 from sketch_spark.sketches.minhash import BottomKMinHash, CountingBottomKMinHash, KMinHash  # noqa: F401
 from sketch_spark.sketches.mult import SampledMultiplicity  # noqa: F401
+from sketch_spark.sketches.smh import SuperMinHash  # noqa: F401
 from sketch_spark.sketches.tdigest import TDigest  # noqa: F401
 from sketch_spark.sketches.topk import MisraGries  # noqa: F401

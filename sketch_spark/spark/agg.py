@@ -198,14 +198,30 @@ def sketch_by_key(df: DataFrame, key: str, specs: list[SketchSpec]) -> DataFrame
     merge. The shuffle moves |keys|×|specs| states per partition, never raw
     rows — map-side combine done manually since Spark has no Python UDAF
     with partial aggregation.
+
+    The output ``key`` column keeps the input column's type (string, any
+    numeric, date/timestamp); null keys form their own group, matching
+    Spark's groupBy semantics.
     """
     spec_list = [(s.name, s.kind, s.col, dict(s.params), s.is_quantile) for s in specs]
+    key_type = dict(df.dtypes)[key]
 
     def partial(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        acc: dict[tuple[str, str], Sketch] = {}
+        acc: dict[tuple[Any, str], Sketch] = {}
+        key_arrow_type = None
         for batch in batches:
-            keys = np.asarray(batch.column(batch.schema.get_field_index(key)).to_numpy(zero_copy_only=False)).astype(str)
-            uniq, inv = np.unique(keys, return_inverse=True)
+            karr = batch.column(batch.schema.get_field_index(key))
+            key_arrow_type = karr.type
+            # Arrow dictionary-encode keeps the native type (to_pandas would
+            # promote nullable ints to float64) — no silent stringification
+            # of numeric/date keys; null keys get their own trailing group
+            denc = karr.dictionary_encode()
+            uniq = denc.dictionary.to_pylist()
+            if denc.indices.null_count:
+                inv = denc.indices.fill_null(len(uniq)).to_numpy(zero_copy_only=False).astype(np.int64)
+                uniq = uniq + [None]
+            else:
+                inv = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             for name, kind, col, params, want_float in spec_list:
                 arr = batch.column(batch.schema.get_field_index(col))
                 is_list = pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
@@ -228,10 +244,10 @@ def sketch_by_key(df: DataFrame, key: str, specs: list[SketchSpec]) -> DataFrame
                         sk = acc[(kval, name)] = make_sketch(kind, **params)
                     sk.update(seg)
         if acc:
-            items = sorted(acc.items())
+            items = sorted(acc.items(), key=lambda kv: (repr(kv[0][0]), kv[0][1]))
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array([k for (k, _), _ in items], pa.string()),
+                    pa.array([k for (k, _), _ in items], key_arrow_type),
                     pa.array([n for (_, n), _ in items], pa.string()),
                     pa.array([s.to_bytes() for _, s in items], pa.binary()),
                 ],
@@ -239,7 +255,7 @@ def sketch_by_key(df: DataFrame, key: str, specs: list[SketchSpec]) -> DataFrame
             )
 
     cols = sorted({s.col for s in specs} | {key})
-    partials = df.select(*cols).mapInArrow(partial, f"{key} string, name string, state binary")
+    partials = df.select(*cols).mapInArrow(partial, f"{key} {key_type}, name string, state binary")
 
     def final_merge(pdf):
         sk = from_bytes(bytes(pdf["state"].iloc[0]))
@@ -250,7 +266,7 @@ def sketch_by_key(df: DataFrame, key: str, specs: list[SketchSpec]) -> DataFrame
         )
 
     return partials.groupBy(key, "name").applyInPandas(
-        final_merge, f"{key} string, name string, state binary"
+        final_merge, f"{key} {key_type}, name string, state binary"
     )
 
 

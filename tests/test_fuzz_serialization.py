@@ -23,6 +23,8 @@ PARAM_STRATEGIES = {
     "topk": st.fixed_dictionaries({"m": st.integers(1, 512)}),
     "multiplicity": st.fixed_dictionaries({"r": st.integers(0, 12)}),
     "bbmh": st.fixed_dictionaries({"p": st.integers(4, 12), "b": st.integers(1, 16)}),
+    "smh": st.fixed_dictionaries({"m": st.integers(16, 512)}),
+    "hmh": st.fixed_dictionaries({"p": st.integers(4, 12), "r": st.integers(2, 14)}),
 }
 
 

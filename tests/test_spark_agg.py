@@ -250,3 +250,16 @@ def test_threshold_distinct_threshold_one_equals_hll(spark):
     df = spark.createDataFrame([(v,) for v in range(500)], "v long")
     est = threshold_distinct(df, "v", 1, p=12)
     assert abs(est - 500) <= 3 * 1.03896 / np.sqrt(1 << 12) * 500 + 1
+
+
+def test_sketch_by_key_preserves_key_type(spark):
+    """Round-2 fix: numeric/date keys keep their type in the output schema
+    (previously silently stringified), and null keys form their own group."""
+    from pyspark.sql import Row as R
+
+    rows = [R(k=1, v=10), R(k=1, v=11), R(k=2, v=12), R(k=None, v=13)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    out = sketch_by_key(df, "k", [SketchSpec("h", "hll", "v", {"p": 10})])
+    assert dict(out.dtypes)["k"] == "bigint"
+    got = {r["k"] for r in out.collect()}
+    assert got == {1, 2, None}

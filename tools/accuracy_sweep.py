@@ -1,7 +1,8 @@
 """Jaccard-accuracy sweep — the analog of the reference's benchmark/acc.cpp
 (:19-116): true JI = 1/3 geometry, trials × sketch sizes, MSE / MAE / bias
 per sketch family (HLL inclusion-exclusion, HLL joint-MLE, bottom-k
-MinHash, one-permutation b-bit MinHash).
+MinHash, one-permutation b-bit MinHash, SuperMinHash — the full acc.cpp
+column set: the reference prints HLL vs BBMH{16,8,4,2} vs SMH).
 
 Usage: python tools/accuracy_sweep.py [--trials 20] [--n 100000]
 Prints a markdown table (recorded in BASELINE.md).
@@ -20,6 +21,7 @@ import numpy as np
 from sketch_spark.sketches.bbmh import BBitMinHash
 from sketch_spark.sketches.hll import HyperLogLog
 from sketch_spark.sketches.minhash import BottomKMinHash
+from sketch_spark.sketches.smh import SuperMinHash
 
 TRUE_JI = 1.0 / 3.0
 
@@ -57,6 +59,10 @@ def sweep(trials: int, n: int):
             ),
             f"bbmh p={lg} b=16": (
                 lambda s, lg=lg: (BBitMinHash(p=lg, b=16), BBitMinHash(p=lg, b=16)),
+                lambda a, b: a.jaccard_index(b),
+            ),
+            f"smh m={m}": (
+                lambda s, m=m: (SuperMinHash(m=m), SuperMinHash(m=m)),
                 lambda a, b: a.jaccard_index(b),
             ),
         }

@@ -754,6 +754,103 @@ def q_streaming_windowed_daily_hll(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_embedding_neardup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup gate: plant an exact copy of every 20th
+    vector, run multi-table LSH bucketing → star-guarded candidate join →
+    exact cosine filter, require every planted pair recovered. Identical
+    vectors share every (table, bucket) deterministically and score
+    cosine 1.0, so recall is exact, not statistical."""
+    from sketch_spark.pipeline.similarity import embedding_neardups
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dup)
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardups(corpus, threshold=0.999, n_planes=8, n_tables=6)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    planted = [int(r["vec_id"]) for r in emb.where(F.col("vec_id") % 20 == 0).collect()]
+    recall_all = all((i, i + 1_000_000) in found for i in planted)
+    return spark.createDataFrame(
+        [Row(n_planted=len(planted), emb_recall_all=bool(recall_all))]
+    )
+
+
+def q_streaming_stateful_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running sketches in the streaming state store
+    (applyInPandasWithState): final per-event-type HLL states must
+    byte-match the batch sketch_by_key build, and the streamed estimates
+    must hit the HLL bound vs exact distinct users per type."""
+    import shutil
+    import tempfile
+
+    from sketch_spark.sketches.base import from_bytes
+    from sketch_spark.streaming import stateful_sketch_by_key
+
+    work = tempfile.mkdtemp(prefix="sketch_state_")
+    try:
+        src_dir = os.path.join(work, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"), os.path.join(src_dir, "events.parquet")
+        )
+        schema = spark.read.parquet(src_dir).schema
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        spec = SketchSpec("h", "hll", "user_id", {"p": 14})
+        out = stateful_sketch_by_key(stream, "event_type", spec)
+        sink = os.path.join(work, "sink")
+
+        def write(bdf, bid):
+            bdf.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(sink)
+
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(write)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(sink).collect()
+        latest: dict = {}
+        for r in rows:
+            if r["key"] not in latest or r["batch_id"] >= latest[r["key"]]["batch_id"]:
+                latest[r["key"]] = r
+        ev = spark.read.parquet(src_dir)
+        batch_states = {
+            r["event_type"]: bytes(r["state"])
+            for r in sketch_by_key(ev, "event_type", [spec]).collect()
+        }
+        exact = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        bound = 3.0 * 1.03896 / np.sqrt(1 << 14)
+        out_rows = [
+            Row(
+                event_type=k,
+                exact_distinct=int(exact[k]),
+                state_matches_batch=bool(
+                    k in latest and bytes(latest[k]["state"]) == batch_states[k]
+                ),
+                within_bound=bool(
+                    k in latest
+                    and abs(latest[k]["estimate"] - exact[k]) <= bound * exact[k] + 0.5
+                ),
+            )
+            for k in sorted(exact)
+        ]
+        return spark.createDataFrame(out_rows)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_distinct_parts": q_hll_distinct_parts,
@@ -787,6 +884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_neardup_docs": q_lsh_neardup_docs,
         "threshold_distinct_users": q_threshold_distinct_users,
         "streaming_windowed_daily_hll": q_streaming_windowed_daily_hll,
+        "embedding_neardup_planted": q_embedding_neardup_planted,
+        "streaming_stateful_by_key": q_streaming_stateful_by_key,
     }
 
 
@@ -1045,6 +1144,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct, "
             "TRUE AS within_bound, TRUE AS finals_unique "
             "FROM events GROUP BY 1 ORDER BY day"
+        ),
+        "embedding_neardup_planted": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_planted, TRUE AS emb_recall_all "
+            "FROM embeddings WHERE vec_id % 20 = 0"
+        ),
+        "streaming_stateful_by_key": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct, "
+            "TRUE AS state_matches_batch, TRUE AS within_bound "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "cosine_topk": (
             """

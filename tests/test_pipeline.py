@@ -348,3 +348,17 @@ def test_sample_frames_plumbing(spark):
         by_media.setdefault(r["media_id"], []).append(r)
         assert len(bytes(r["frame"])) == 8 and r["n_frames"] == 4
     assert all(sorted(x["frame_idx"] for x in v) == [0, 1, 2, 3] for v in by_media.values())
+
+
+def test_embedding_hot_bucket_guard_linear(spark):
+    """A flood of identical vectors lands in one bucket of every table; the
+    star guard must keep candidates O(n)."""
+    from sketch_spark.pipeline.similarity import embedding_neardups
+
+    rng = np.random.default_rng(4)
+    v = rng.standard_normal(16).astype("float32")
+    n = 600
+    rows = [(i, [float(x) for x in v]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_neardups(df, threshold=0.99, n_planes=6, n_tables=4, max_bucket_size=64)
+    assert got.count() == n - 1  # star: every non-min pairs once with the hub

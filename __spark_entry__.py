@@ -754,6 +754,36 @@ def q_streaming_windowed_daily_hll(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_pccm_heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morris-counter CMS (reference pccm_t, ccm.h:788 + update.h:35-83):
+    probabilistic log-count cells. Estimates are constant-factor (Morris a=1
+    noise + the reference's own 2^(r−1) estimator + CMS-min downward bias),
+    so the gate asserts a factor-16 envelope on the exact top-5 keys (CMS-min over 4 independent Morris rows is downward-biased — the min tracks the unluckiest row).
+    coalesce(1) fixes the batch sequence, making the counter-based draws —
+    and therefore this whole query — deterministic."""
+    li = _t(spark, sf_dir, "lineitem").coalesce(1)
+    sk = build_sketches(
+        li, [SketchSpec("p", "pccm", "l_partkey", {"l2sz": 16, "nh": 4, "nbits": 8})]
+    )["p"]
+    top = (
+        li.groupBy("l_partkey").count()
+        .orderBy(F.desc("count"), F.asc("l_partkey"))
+        .limit(5)
+        .collect()
+    )
+    keys = np.array([r["l_partkey"] for r in top], dtype=np.int64)
+    ests = sk.query(keys)
+    rows = [
+        Row(
+            l_partkey=int(r["l_partkey"]),
+            exact_cnt=int(r["count"]),
+            within_factor16=bool(r["count"] / 16.0 <= ests[i] <= r["count"] * 16.0),
+        )
+        for i, r in enumerate(top)
+    ]
+    return spark.createDataFrame(rows).orderBy(F.desc("exact_cnt"), "l_partkey")
+
+
 def q_embedding_neardup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup gate: plant an exact copy of every 20th
     vector, run multi-table LSH bucketing → star-guarded candidate join →
@@ -884,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_neardup_docs": q_lsh_neardup_docs,
         "threshold_distinct_users": q_threshold_distinct_users,
         "streaming_windowed_daily_hll": q_streaming_windowed_daily_hll,
+        "pccm_heavy_parts": q_pccm_heavy_parts,
         "embedding_neardup_planted": q_embedding_neardup_planted,
         "streaming_stateful_by_key": q_streaming_stateful_by_key,
     }
@@ -1144,6 +1175,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct, "
             "TRUE AS within_bound, TRUE AS finals_unique "
             "FROM events GROUP BY 1 ORDER BY day"
+        ),
+        "pccm_heavy_parts": (
+            "SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt, TRUE AS within_factor16 "
+            "FROM lineitem GROUP BY l_partkey ORDER BY exact_cnt DESC, l_partkey LIMIT 5"
         ),
         "embedding_neardup_planted": (
             "SELECT CAST(count(*) AS BIGINT) AS n_planted, TRUE AS emb_recall_all "

@@ -163,6 +163,14 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     with timed("dedup_stats"):
         dedup_stats(docs).collect()
+    # the 100 TB shape of the same question: HLL over fingerprints — scan +
+    # kilobyte state merge, no countDistinct shuffle of raw fingerprints
+    with timed("dedup_stats_sketch"):
+        from sketch_spark.pipeline.text import with_fingerprint
+
+        build_sketches(
+            with_fingerprint(docs), [SketchSpec("d", "hll", "fingerprint", {"p": 14})]
+        )
     # Warm the LSH plan shape on a tiny slice first: the cold first run pays
     # one-time session costs (Python-worker spawn for this UDF chain, AQE
     # plan compilation, codegen) that measured 2-3× the steady-state time

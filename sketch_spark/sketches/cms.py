@@ -251,3 +251,109 @@ class CountSketch4W(CountSketch):
         obj = cls(**params)
         obj.table = arrays["table"].astype(cls.dtype)
         return obj
+
+
+@register
+class MorrisCMS(_TableSketch):
+    """Count-Min over probabilistic (Morris / power-of-two) counters — the
+    reference's ``pccm_t = ccmbase_t<update::PowerOfTwo>`` (ccm.h:788,
+    update.h:35-83): a cell holds exponent r, a hit increments r with
+    probability 2^−r, and the estimate is 2^(r−1) (update.h:81-82
+    ``est_count``). nbits-bit cells therefore count to ~2^(2^nbits − 2) —
+    8-bit cells cover any corpus ever — which is the memory story at
+    100 TB: a 2^30-wide × 4-row table is 4 GB of int64 counters but 512 MB
+    of Morris bytes, with relative error ~√(n/2)·2^(−r/2)… i.e. the usual
+    Morris O(1/√a) constant-factor noise (a=1 here, matching the reference).
+
+    Merge follows the reference exactly: ``combine(i, j) = max(i, j) +
+    (i == j)`` (update.h:74-79). Like the reference's, that rule is NOT
+    merge-order invariant (max(max(3,3)+1, 4) ≠ max(3, max(3,4)+0) can
+    differ by 1) — this sketch is guarantee-level (like t-digest /
+    Misra-Gries here), not byte-identical, and is documented as such.
+
+    Per-batch updates collapse repeated hits on a cell into vectorized
+    geometric jumps (number of failed trials before the next increment is
+    Geometric(2^−r)), so a cell with n hits costs O(log n) draws instead of
+    n sequential coin flips. Draws are counter-based (splitmix of
+    (seed, row, cell, r, round)), so a given batch sequence is reproducible.
+    """
+
+    kind = "pccm"
+    dtype = np.uint8
+
+    def __init__(self, l2sz: int = 16, nh: int = 4, seed: int = 137, nbits: int = 8):
+        if not 2 <= nbits <= 8:
+            raise ValueError("nbits must be in [2, 8] (uint8 cells)")
+        super().__init__(l2sz=l2sz, nh=nh, seed=seed)
+        self.nbits = int(nbits)
+        self.maxval = (1 << self.nbits) - 1
+
+    def _params(self) -> dict[str, Any]:
+        return {"l2sz": self.l2sz, "nh": self.nh, "seed": self.seed, "nbits": self.nbits}
+
+    def _geom_uniforms(self, row: int, cells: np.ndarray, r: np.ndarray, rnd: int) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            z = (
+                _U64(self.seed)
+                + _U64(0x9E3779B97F4A7C15) * (cells.astype(np.uint64) + _U64(1))
+                + _U64(0xBF58476D1CE4E5B9) * _U64(row + 1)
+                + _U64(0x94D049BB133111EB) * (r.astype(np.uint64) + _U64(rnd << 8))
+            )
+            z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+            z ^= z >> _U64(31)
+        return (z.astype(np.float64) + 0.5) * (2.0**-64)  # (0, 1)
+
+    def update(self, values: np.ndarray, counts: np.ndarray | None = None) -> "MorrisCMS":
+        if len(values) == 0:
+            return self
+        idx = self._row_indices(values)  # (nh, n)
+        c = None if counts is None else np.asarray(counts, dtype=np.int64)
+        for row in range(self.nh):
+            cells, inverse = np.unique(idx[row], return_inverse=True)
+            if c is None:
+                hits = np.bincount(inverse, minlength=len(cells)).astype(np.float64)
+            else:
+                hits = np.bincount(inverse, weights=c.astype(np.float64), minlength=len(cells))
+            r = self.table[row, cells].astype(np.int64)
+            rem = hits
+            # first hit on an empty cell is deterministic (update.h:46 ref=1)
+            zero = (r == 0) & (rem > 0)
+            r[zero] += 1
+            rem[zero] -= 1
+            rnd = 0
+            while True:
+                active = (rem > 0) & (r < self.maxval)
+                if not active.any():
+                    break
+                u = self._geom_uniforms(row, cells, r, rnd)
+                p = np.exp2(-r.astype(np.float64))
+                with np.errstate(divide="ignore", over="ignore"):
+                    g = np.ceil(np.log(u) / np.log1p(-p))
+                g = np.where(np.isfinite(g) & (g >= 1.0), g, np.inf)
+                inc = active & (g <= rem)
+                r[inc] += 1
+                rem = np.where(inc, rem - g, 0.0)
+                rnd += 1
+            self.table[row, cells] = r.astype(np.uint8)
+        return self
+
+    def merge(self, other: "MorrisCMS") -> "MorrisCMS":
+        self._check_mergeable(other)
+        a, b = self.table, other.table
+        merged = np.maximum(a, b) + ((a == b) & (a > 0))
+        np.minimum(merged, self.maxval, out=merged)
+        self.table = merged.astype(np.uint8)
+        return self
+
+    @staticmethod
+    def est_count_of(r: np.ndarray) -> np.ndarray:
+        """Reference estimator est_count(val) = 2^(val−1), 0 for empty."""
+        return np.where(r > 0, np.exp2(r.astype(np.float64) - 1.0), 0.0)
+
+    def query(self, values: np.ndarray) -> np.ndarray:
+        idx = self._row_indices(values)
+        ests = np.empty((self.nh, idx.shape[1]), dtype=np.float64)
+        for row in range(self.nh):
+            ests[row] = self.est_count_of(self.table[row, idx[row]])
+        return ests.min(axis=0)

@@ -186,3 +186,63 @@ def test_cs4w_differs_from_wanghash_family():
     a = CountSketch4W(l2sz=14, nh=5).update(STREAM[:1000])
     b = CountSketch(l2sz=14, nh=5).update(STREAM[:1000])
     assert not np.array_equal(a.table, b.table)
+
+
+# ---------------- Morris / power-of-two CMS (reference pccm_t) ---------------
+
+
+def test_pccm_small_counts_near_exact():
+    from sketch_spark.sketches.cms import MorrisCMS
+
+    sk = MorrisCMS(l2sz=12, nh=4, seed=7)
+    sk.update(np.array([42], dtype=np.int64))
+    assert sk.query(np.array([42], dtype=np.int64))[0] == 1.0  # first hit exact
+    assert sk.query(np.array([43], dtype=np.int64))[0] == 0.0  # absent → 0
+
+
+def test_pccm_order_of_magnitude_and_determinism():
+    """Morris registers grow like log2(n); est_count = 2^(r−1) (reference
+    update.h:81-82) with CMS-min over rows is a constant-factor estimate —
+    assert the register is within ±3 of log2(n) and the run is reproducible
+    (counter-based draws)."""
+    from sketch_spark.sketches.cms import MorrisCMS
+
+    n = 100_000
+    vals = np.full(n, 137, dtype=np.int64)
+    a = MorrisCMS(l2sz=12, nh=4, seed=7).update(vals)
+    b = MorrisCMS(l2sz=12, nh=4, seed=7).update(vals)
+    assert a.to_bytes() == b.to_bytes()  # deterministic given batch sequence
+    idx = a._row_indices(np.array([137], dtype=np.int64))
+    for row in range(a.nh):
+        r = int(a.table[row, idx[row, 0]])
+        assert abs(r - np.log2(n)) <= 3.0, r
+
+
+def test_pccm_merge_rule_and_saturation():
+    from sketch_spark.sketches.cms import MorrisCMS
+
+    a = MorrisCMS(l2sz=8, nh=1, nbits=4)
+    b = MorrisCMS(l2sz=8, nh=1, nbits=4)
+    a.table[0, 5] = 3
+    b.table[0, 5] = 3
+    a.merge(b)
+    assert a.table[0, 5] == 4  # combine = max + (i==j), update.h:74-79
+    c = MorrisCMS(l2sz=8, nh=1, nbits=4)
+    c.table[0, 5] = 15
+    a.table[0, 5] = 15
+    a.merge(c)
+    assert a.table[0, 5] == 15  # saturates at 2^nbits − 1
+    with pytest.raises(ValueError):
+        a.merge(MorrisCMS(l2sz=8, nh=1, nbits=5))
+
+
+def test_pccm_weighted_counts_equivalent_scale():
+    from sketch_spark.sketches.cms import MorrisCMS
+
+    n = 50_000
+    w = MorrisCMS(l2sz=12, nh=2, seed=3).update(
+        np.array([9], dtype=np.int64), counts=np.array([n])
+    )
+    r = MorrisCMS(l2sz=12, nh=2, seed=3).update(np.full(n, 9, dtype=np.int64))
+    # same total hit count through either path → identical registers
+    assert w.to_bytes() == r.to_bytes()

@@ -25,6 +25,8 @@ EXACT_KINDS = [
     ("multiplicity", {"r": 4}),
     ("bbmh", {"p": 8, "b": 16}),
     ("kminhash", {"k": 128}),
+    ("smh", {"m": 128}),
+    ("hmh", {"p": 8, "r": 8}),
 ]
 
 DATA = np.random.default_rng(2024).integers(0, 2**32, 30_000, dtype=np.int64)

@@ -754,6 +754,55 @@ def q_streaming_windowed_daily_hll(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_streaming_decayed_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decayed CMS over an ordered two-batch stream (reference realccm_t,
+    mult.h:42-170, restated as batch-epoch decay): events with even event_id
+    stream first, odd second; a user's decayed count is then exactly
+    γ·c_even + c_odd (γ=0.5 — exact in float), which the SQL oracle
+    recomputes. Batch order is forced by streaming the first file to
+    completion before the second appears (same checkpoint → resumed batch
+    ids). CMS-min over 4 rows makes the 150-user estimates collision-free."""
+    import glob
+    import shutil
+    import tempfile
+
+    from sketch_spark.streaming.build import StreamingSketchBuild
+
+    work = tempfile.mkdtemp(prefix="sketch_decay_")
+    try:
+        ev = _t(spark, sf_dir, "events")
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        for i, part in enumerate(
+            [ev.where(F.col("event_id") % 2 == 0), ev.where(F.col("event_id") % 2 == 1)]
+        ):
+            w = os.path.join(work, f"w{i}")
+            part.coalesce(1).write.parquet(w)
+        spec = SketchSpec("d", "realccm", "user_id", {"l2sz": 16, "nh": 4, "gamma": 0.5})
+        b = StreamingSketchBuild(spark, [spec], os.path.join(work, "wk"))
+        for i in range(2):
+            shutil.copy(
+                glob.glob(os.path.join(work, f"w{i}", "part-*.parquet"))[0],
+                os.path.join(in_dir, f"f{i}.parquet"),
+            )
+            b.start(in_dir).awaitTermination()
+        acc = b.current_decayed("d")
+        top = (
+            ev.groupBy("user_id").count()
+            .orderBy(F.desc("count"), F.asc("user_id"))
+            .limit(5)
+            .collect()
+        )
+        keys = np.array([r["user_id"] for r in top], dtype=np.int64)
+        ests = acc.query(keys)
+        rows = [
+            Row(user_id=int(k), decayed_cnt=float(e)) for k, e in zip(keys, ests)
+        ]
+        return spark.createDataFrame(rows).orderBy("user_id")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_pccm_heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morris-counter CMS (reference pccm_t, ccm.h:788 + update.h:35-83):
     probabilistic log-count cells. Estimates are constant-factor (Morris a=1
@@ -915,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_distinct_users": q_threshold_distinct_users,
         "streaming_windowed_daily_hll": q_streaming_windowed_daily_hll,
         "pccm_heavy_parts": q_pccm_heavy_parts,
+        "streaming_decayed_user_counts": q_streaming_decayed_user_counts,
         "embedding_neardup_planted": q_embedding_neardup_planted,
         "streaming_stateful_by_key": q_streaming_stateful_by_key,
     }
@@ -1179,6 +1229,20 @@ def oracle_sql() -> dict[str, str]:
         "pccm_heavy_parts": (
             "SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt, TRUE AS within_factor16 "
             "FROM lineitem GROUP BY l_partkey ORDER BY exact_cnt DESC, l_partkey LIMIT 5"
+        ),
+        "streaming_decayed_user_counts": (
+            """
+            WITH top5 AS (
+              SELECT user_id FROM events GROUP BY user_id
+              ORDER BY count(*) DESC, user_id LIMIT 5
+            )
+            SELECT e.user_id,
+                   CAST(0.5 * sum(CASE WHEN e.event_id % 2 = 0 THEN 1 ELSE 0 END)
+                        + sum(CASE WHEN e.event_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     AS decayed_cnt
+            FROM events e JOIN top5 t ON e.user_id = t.user_id
+            GROUP BY e.user_id ORDER BY e.user_id
+            """
         ),
         "embedding_neardup_planted": (
             "SELECT CAST(count(*) AS BIGINT) AS n_planted, TRUE AS emb_recall_all "

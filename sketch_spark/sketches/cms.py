@@ -357,3 +357,81 @@ class MorrisCMS(_TableSketch):
         for row in range(self.nh):
             ests[row] = self.est_count_of(self.table[row, idx[row]])
         return ests.min(axis=0)
+
+
+@register
+class DecayedCMS(_TableSketch):
+    """Float CMS with exponential decay — the reference's ``realccm_t``
+    (mult.h:42-170) restated for Spark's execution model.
+
+    The reference decays PER ITEM on a single mutable sketch, which makes
+    results depend on global item order — impossible to distribute (and its
+    non-conservative update path literally throws, mult.h:166). The
+    Spark-native semantics here decay per EPOCH (one micro-batch = one
+    epoch): every item in an epoch carries weight 1 at insert, and each
+    ``decay()`` multiplies the whole table by gamma — so an item k epochs
+    old weighs gamma^k. Within an epoch, updates are plain float adds —
+    commutative and mergeable — so each micro-batch is built DISTRIBUTED
+    with the normal partial/merge machinery; only the tiny
+    ``accumulate(batch)`` fold (decay + add, driver-side, kilobytes) is
+    sequential, mirroring Structured Streaming's ordered micro-batches.
+
+    Merging requires equal epochs (the epoch rides in the params, so
+    ``_check_mergeable`` enforces it): merging tables decayed different
+    amounts would silently mix scales.
+    """
+
+    kind = "realccm"
+    dtype = np.float64
+
+    def __init__(self, l2sz: int = 16, nh: int = 4, seed: int = 137,
+                 gamma: float = 0.98, epoch: int = 0):
+        if not 0.0 < gamma <= 1.0:
+            raise ValueError("gamma must be in (0, 1]")
+        super().__init__(l2sz=l2sz, nh=nh, seed=seed)
+        self.gamma = float(gamma)
+        self.epoch = int(epoch)
+
+    def _params(self) -> dict[str, Any]:
+        return {
+            "l2sz": self.l2sz, "nh": self.nh, "seed": self.seed,
+            "gamma": self.gamma, "epoch": self.epoch,
+        }
+
+    def _arrays(self) -> dict[str, np.ndarray]:
+        return {"table": self.table}
+
+    def update(self, values: np.ndarray, counts: np.ndarray | None = None) -> "DecayedCMS":
+        if len(values) == 0:
+            return self
+        idx = self._row_indices(values)
+        c = np.ones(idx.shape[1]) if counts is None else np.asarray(counts, dtype=np.float64)
+        for row in range(self.nh):
+            self.table[row] += np.bincount(idx[row], weights=c, minlength=self.w)
+        return self
+
+    def decay(self, steps: int = 1) -> "DecayedCMS":
+        self.table *= self.gamma**steps
+        self.epoch += int(steps)
+        return self
+
+    def accumulate(self, batch: "DecayedCMS") -> "DecayedCMS":
+        """Sequential fold step: age this state one epoch, add a fresh
+        (epoch-0) batch sketch at weight 1."""
+        if batch.epoch != 0:
+            raise ValueError("accumulate expects a fresh (epoch-0) batch sketch")
+        if (batch.l2sz, batch.nh, batch.seed, batch.gamma) != (
+            self.l2sz, self.nh, self.seed, self.gamma,
+        ):
+            raise ValueError("realccm: parameter mismatch on accumulate")
+        self.decay(1)
+        self.table += batch.table
+        return self
+
+    def query(self, values: np.ndarray) -> np.ndarray:
+        """Decayed frequency estimate: min over rows (float)."""
+        idx = self._row_indices(values)
+        ests = np.empty((self.nh, idx.shape[1]), dtype=np.float64)
+        for row in range(self.nh):
+            ests[row] = self.table[row, idx[row]]
+        return ests.min(axis=0)

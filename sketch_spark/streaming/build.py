@@ -90,6 +90,34 @@ class StreamingSketchBuild:
                 out[r["name"]] = sk
         return out
 
+    def current_decayed(self, name: str) -> Sketch:
+        """Recency-weighted fold for a `realccm` (decayed CMS) spec: merge
+        each micro-batch's partial states (plain float adds — order-free),
+        then fold batches in batch_id order with ``accumulate`` (decay one
+        epoch, add at weight 1). An item from k batches ago weighs gamma^k —
+        the Spark-native restatement of the reference's per-item-decay
+        realccm_t (mult.h:42-170), whose global-order dependence cannot be
+        distributed. Sequentiality lives only in this driver-side fold of
+        kilobyte states; each batch itself is built distributed."""
+        if not os.path.exists(self.states_dir):
+            raise ValueError("no streaming states yet")
+        states = self.spark.read.option("basePath", self.states_dir).parquet(self.states_dir)
+        rows = states.where(F.col("name") == name).select("batch_id", "state").collect()
+        if not rows:
+            raise ValueError(f"no states for spec {name!r}")
+        per_batch: dict[int, Sketch] = {}
+        for r in rows:
+            sk = from_bytes(bytes(r["state"]))
+            if r["batch_id"] in per_batch:
+                per_batch[r["batch_id"]].merge(sk)
+            else:
+                per_batch[r["batch_id"]] = sk
+        first = per_batch[min(per_batch)]
+        acc = type(first)(**{**first._params(), "epoch": 0})
+        for bid in sorted(per_batch):
+            acc.accumulate(per_batch[bid])
+        return acc
+
     def progress(self) -> DataFrame:
         """Per-batch lineage: rows/values/wall-ms absorbed by each micro-batch.
         (n_rows repeats per spec in the state rows, so row totals come from

@@ -246,3 +246,43 @@ def test_pccm_weighted_counts_equivalent_scale():
     r = MorrisCMS(l2sz=12, nh=2, seed=3).update(np.full(n, 9, dtype=np.int64))
     # same total hit count through either path → identical registers
     assert w.to_bytes() == r.to_bytes()
+
+
+# ---------------- decayed CMS (reference realccm_t, batch-epoch semantics) ----
+
+
+def test_realccm_epoch_weighting_exact():
+    from sketch_spark.sketches.cms import DecayedCMS
+
+    acc = DecayedCMS(l2sz=12, nh=4, gamma=0.5)
+    b1 = DecayedCMS(l2sz=12, nh=4, gamma=0.5).update(np.full(10, 7, dtype=np.int64))
+    b2 = DecayedCMS(l2sz=12, nh=4, gamma=0.5).update(np.full(100, 7, dtype=np.int64))
+    acc.accumulate(b1).accumulate(b2)
+    # batch1 aged one epoch (×0.5), batch2 fresh
+    assert acc.query(np.array([7], dtype=np.int64))[0] == 0.5 * 10 + 100
+    assert acc.epoch == 2
+
+
+def test_realccm_same_epoch_merge_is_order_free():
+    from sketch_spark.sketches.cms import DecayedCMS
+
+    rng = np.random.default_rng(6)
+    data = rng.integers(0, 1000, 5000, dtype=np.int64)
+    single = DecayedCMS(l2sz=10, nh=3).update(data)
+    a, b = np.array_split(data, 2)
+    m1 = DecayedCMS(l2sz=10, nh=3).update(a).merge(DecayedCMS(l2sz=10, nh=3).update(b))
+    m2 = DecayedCMS(l2sz=10, nh=3).update(b).merge(DecayedCMS(l2sz=10, nh=3).update(a))
+    assert m1.to_bytes() == single.to_bytes() == m2.to_bytes()
+
+
+def test_realccm_guards():
+    from sketch_spark.sketches.cms import DecayedCMS
+
+    aged = DecayedCMS(l2sz=8, nh=2).decay(3)
+    fresh = DecayedCMS(l2sz=8, nh=2)
+    with pytest.raises(ValueError):
+        aged.merge(fresh)  # epoch mismatch: different scales
+    with pytest.raises(ValueError):
+        fresh.accumulate(aged)  # accumulate wants an epoch-0 batch
+    with pytest.raises(ValueError):
+        DecayedCMS(gamma=0.0)

@@ -28,6 +28,9 @@ PARAM_STRATEGIES = {
     "pccm": st.fixed_dictionaries(
         {"l2sz": st.integers(4, 14), "nh": st.integers(1, 6), "nbits": st.integers(2, 8)}
     ),
+    "realccm": st.fixed_dictionaries(
+        {"l2sz": st.integers(4, 14), "nh": st.integers(1, 6), "gamma": st.floats(0.5, 1.0)}
+    ),
 }
 
 

@@ -217,3 +217,31 @@ def test_windowed_sketch_stream_with_watermark(spark, tmp_path):
     final_keys = [r["window_start"] for r in finals]
     assert len(final_keys) == len(set(final_keys))  # exactly once per window
     assert len(finals) >= len(exact) - 2  # all but the trailing window(s)
+
+
+def test_streaming_decayed_cms_recency_weighting(spark, tmp_path):
+    """realccm over a 2-batch stream: the older batch's counts weigh gamma,
+    the newer weigh 1 — verified exactly (gamma=0.5 powers are exact in
+    float) using the per-batch row counts from the lineage states."""
+    import glob
+    import shutil
+
+    from sketch_spark.streaming.build import StreamingSketchBuild
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, nrows in enumerate([10, 100]):
+        w = str(tmp_path / f"w{i}")
+        spark.createDataFrame([(7,)] * nrows, "v long").coalesce(1).write.parquet(w)
+        shutil.copy(glob.glob(w + "/part-*.parquet")[0], str(in_dir / f"f{i}.parquet"))
+    spec = SketchSpec("d", "realccm", "v", {"l2sz": 12, "nh": 4, "gamma": 0.5})
+    b = StreamingSketchBuild(spark, [spec], str(tmp_path / "wk"))
+    q = b.start(str(in_dir), max_files_per_trigger=1)
+    q.awaitTermination()
+    acc = b.current_decayed("d")
+    batches = {r["batch_id"]: r["rows"] for r in b.progress().collect()}
+    assert len(batches) == 2
+    order = [batches[k] for k in sorted(batches)]
+    expected = 0.5 * order[0] + 1.0 * order[1]
+    assert acc.query(np.array([7], dtype=np.int64))[0] == expected
+    assert acc.epoch == 2

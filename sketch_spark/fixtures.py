@@ -202,3 +202,48 @@ if __name__ == "__main__":
 
     out = sys.argv[1] if len(sys.argv) > 1 else ".fixtures_cache/tokens"
     print(json.dumps(generate(out), indent=1)[:2000])
+
+
+def ensure_text_corpus(
+    n_docs: int, seed: int = 42, dup_every: int = 10, cache_dir: str | None = None
+) -> str:
+    """Deterministic text-document corpus for dedup scale probes: word-salad
+    docs over a 5k-word vocabulary, with every ``dup_every``-th document an
+    EXACT copy of the document ``dup_every − 1`` positions earlier — so the
+    planted exact-dup pair count is known in closed form. Cached like the
+    token tables (content is a pure function of (n_docs, seed, dup_every))."""
+    cache_dir = cache_dir or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".fixtures_cache",
+        f"txt_{n_docs}_{seed}_{dup_every}",
+    )
+    marker = os.path.join(cache_dir, "_done")
+    if os.path.exists(marker):
+        return cache_dir
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i:04d}" for i in range(5000)])
+    lens = rng.integers(30, 200, n_docs)
+    texts: list[str] = []
+    for i in range(n_docs):
+        if i % dup_every == dup_every - 1 and i >= dup_every:
+            texts.append(texts[i - dup_every + 1])
+        else:
+            texts.append(" ".join(vocab[rng.integers(0, len(vocab), lens[i])]))
+    os.makedirs(cache_dir, exist_ok=True)
+    n_files = 32
+    bounds = np.linspace(0, n_docs, n_files + 1).astype(np.int64)
+    for f in range(n_files):
+        lo, hi = int(bounds[f]), int(bounds[f + 1])
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                "text": pa.array(texts[lo:hi], pa.string()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(cache_dir, f"part-{f:03d}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return cache_dir

@@ -81,6 +81,17 @@ def q_hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([Row(exact_distinct=int(exact), within_bound=bool(ok))])
 
 
+def q_dhll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional HLL (reference dhll, hll.h:1326-1365 — forward +
+    reverse register files averaged): distinct l_partkey within the HLL
+    bound. Same contract shape as hll_distinct_parts, different kernel."""
+    li = _t(spark, sf_dir, "lineitem")
+    sk = build_sketches(li, [SketchSpec("d", "dhll", "l_partkey", {"p": 14})])["d"]
+    exact = li.select(F.countDistinct("l_partkey")).first()[0]
+    ok = abs(sk.estimate() - exact) <= 3.0 * sk.relative_error() * exact
+    return spark.createDataFrame([Row(exact_distinct=int(exact), within_bound=bool(ok))])
+
+
 def q_hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     states = sketch_by_key(ev, "event_type", [SketchSpec("h", "hll", "user_id", {"p": 14})])
@@ -933,6 +944,7 @@ def q_streaming_stateful_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_distinct_parts": q_hll_distinct_parts,
+        "dhll_distinct_parts": q_dhll_distinct_parts,
         "hll_distinct_users_by_type": q_hll_distinct_users_by_type,
         "hll_daily_users": q_hll_daily_users,
         "cms_top_parts": q_cms_top_parts,
@@ -974,6 +986,9 @@ def oracle_sql() -> dict[str, str]:
     qs_rows = ", ".join(f"({q}, TRUE)" for q in _QS)
     return {
         "hll_distinct_parts": (
+            "SELECT count(DISTINCT l_partkey) AS exact_distinct, TRUE AS within_bound FROM lineitem"
+        ),
+        "dhll_distinct_parts": (
             "SELECT count(DISTINCT l_partkey) AS exact_distinct, TRUE AS within_bound FROM lineitem"
         ),
         "hll_distinct_users_by_type": (

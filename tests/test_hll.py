@@ -207,3 +207,35 @@ def test_sparse_wire_encoding_round_trips():
         HyperLogLog(p=14).update(np.arange(100_000, dtype=np.int64))
     )
     assert merged.to_bytes() == direct.to_bytes()
+
+
+# ---------------- bidirectional HLL (reference dhll, hll.h:1326-1365) --------
+
+
+def test_dhll_estimate_within_bound():
+    from sketch_spark.sketches.hll import DoubleHLL
+
+    for n in (1000, 100_000, 1_000_000):
+        d = DoubleHLL(p=12).update(np.arange(n, dtype=np.int64))
+        assert abs(d.estimate() - n) <= 3 * d.relative_error() * n
+
+
+def test_dhll_merge_byte_identical_and_roundtrip():
+    from sketch_spark.sketches.base import from_bytes, merge_all
+    from sketch_spark.sketches.hll import DoubleHLL
+
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 2**40, 50_000, dtype=np.int64)
+    single = DoubleHLL(p=10).update(data)
+    merged = merge_all(DoubleHLL(p=10).update(c) for c in np.array_split(data, 7))
+    assert merged.to_bytes() == single.to_bytes()
+    assert from_bytes(single.to_bytes()).to_bytes() == single.to_bytes()
+
+
+def test_dhll_may_contain_no_false_negatives():
+    from sketch_spark.sketches.hll import DoubleHLL
+
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 2**40, 20_000, dtype=np.int64)
+    d = DoubleHLL(p=12).update(data)
+    assert bool(d.may_contain(data).all())

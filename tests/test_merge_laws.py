@@ -26,6 +26,7 @@ EXACT_KINDS = [
     ("bbmh", {"p": 8, "b": 16}),
     ("kminhash", {"k": 128}),
     ("smh", {"m": 128}),
+    ("dhll", {"p": 10}),
     ("hmh", {"p": 8, "r": 8}),
 ]
 

@@ -7,7 +7,12 @@ from sketch_spark.sketches.cms import CountMinSketch, CountSketch, CountSketch4W
 from sketch_spark.sketches.hll import DoubleHLL, HyperLogLog  # noqa: F401
 from sketch_spark.sketches.hmh import HyperMinHash  # noqa: F401
 from sketch_spark.sketches.kll import KLL  # noqa: F401
-from sketch_spark.sketches.minhash import BottomKMinHash, CountingBottomKMinHash, KMinHash  # noqa: F401
+from sketch_spark.sketches.minhash import (  # noqa: F401
+    BottomKMinHash,
+    CountingBottomKMinHash,
+    KMinHash,
+    ModSampledSet,
+)
 from sketch_spark.sketches.mult import SampledMultiplicity  # noqa: F401
 from sketch_spark.sketches.smh import SuperMinHash  # noqa: F401
 from sketch_spark.sketches.tdigest import TDigest  # noqa: F401

@@ -287,3 +287,72 @@ class KMinHash(Sketch):
         obj = cls(**params)
         obj.sig = arrays["sig"].astype(np.uint64)
         return obj
+
+
+@register
+class ModSampledSet(Sketch):
+    """Mod-sampling sketch (reference modsketch_t, mod.h:10-28): keep exactly
+    the elements whose hash ≡ 0 (mod m) — a 1/m uniform sample of the
+    DISTINCT universe, stored exactly. Merge = set union (byte-identical
+    under any partitioning). Estimates: cardinality ≈ m·|sample|; Jaccard /
+    containment of two sketches equal the exact set statistics of the
+    samples (unbiased — both sides sample the same hash residue class).
+
+    Unlike bottom-k MinHash the sample size is not fixed: it grows as
+    distinct/m, so pick m ≈ distinct/1000 for a ~1k-element state. The
+    reference finalizes into FinalRMinHash; here the sorted sample IS the
+    final form."""
+
+    kind = "modsketch"
+
+    def __init__(self, m: int = 1024, seed: int = 0):
+        if m < 1:
+            raise ValueError("m must be >= 1")
+        self.m = int(m)
+        self.seed = int(seed)
+        self.values = np.empty(0, dtype=np.uint64)
+
+    def update(self, values: np.ndarray) -> "ModSampledSet":
+        if len(values) == 0:
+            return self
+        hashed = hash_tokens(values, self.seed)
+        keep = hashed[hashed % np.uint64(self.m) == 0]
+        if len(keep):
+            self.values = np.union1d(self.values, keep)
+        return self
+
+    def merge(self, other: "ModSampledSet") -> "ModSampledSet":
+        self._check_mergeable(other)
+        self.values = np.union1d(self.values, other.values)
+        return self
+
+    def cardinality_estimate(self) -> float:
+        return float(len(self.values) * self.m)
+
+    def jaccard_index(self, other: "ModSampledSet") -> float:
+        self._check_mergeable(other)
+        union = len(np.union1d(self.values, other.values))
+        if union == 0:
+            return 0.0
+        inter = len(np.intersect1d(self.values, other.values, assume_unique=True))
+        return inter / union
+
+    def containment_index(self, other: "ModSampledSet") -> float:
+        """|A∩B| / |A| over the samples."""
+        self._check_mergeable(other)
+        if len(self.values) == 0:
+            return 0.0
+        inter = len(np.intersect1d(self.values, other.values, assume_unique=True))
+        return inter / len(self.values)
+
+    def _params(self):
+        return {"m": self.m, "seed": self.seed}
+
+    def _arrays(self):
+        return {"values": self.values}
+
+    @classmethod
+    def _from_state(cls, params, arrays) -> "ModSampledSet":
+        obj = cls(**params)
+        obj.values = arrays["values"].astype(np.uint64)
+        return obj

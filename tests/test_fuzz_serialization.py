@@ -26,6 +26,7 @@ PARAM_STRATEGIES = {
     "smh": st.fixed_dictionaries({"m": st.integers(16, 512)}),
     "hmh": st.fixed_dictionaries({"p": st.integers(4, 12), "r": st.integers(2, 14)}),
     "dhll": st.fixed_dictionaries({"p": st.integers(4, 14)}),
+    "modsketch": st.fixed_dictionaries({"m": st.integers(1, 4096)}),
     "pccm": st.fixed_dictionaries(
         {"l2sz": st.integers(4, 14), "nh": st.integers(1, 6), "nbits": st.integers(2, 8)}
     ),

@@ -27,6 +27,7 @@ EXACT_KINDS = [
     ("kminhash", {"k": 128}),
     ("smh", {"m": 128}),
     ("dhll", {"p": 10}),
+    ("modsketch", {"m": 64}),
     ("hmh", {"p": 8, "r": 8}),
 ]
 

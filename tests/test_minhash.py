@@ -159,3 +159,32 @@ def test_kminhash_empty_vs_empty_jaccard_zero():
     assert a.jaccard_index(b) == 0.0
     c = KMinHash(k=64).update(np.arange(1000, dtype=np.int64))
     assert a.jaccard_index(c) == 0.0
+
+
+# ---------------- mod-sampling sketch (reference modsketch_t, mod.h) ---------
+
+
+def test_modsketch_cardinality_and_jaccard():
+    from sketch_spark.sketches.minhash import ModSampledSet
+
+    n = 1_000_000
+    a = ModSampledSet(m=1024).update(np.arange(n, dtype=np.int64))
+    # |sample| ~ Binomial(n, 1/m): σ/n ≈ 1/√(n/m) ≈ 3.2%; allow 4σ
+    assert abs(a.cardinality_estimate() - n) / n < 0.13
+    b = ModSampledSet(m=1024).update(np.arange(n // 2, n + n // 2, dtype=np.int64))
+    assert abs(a.jaccard_index(b) - 1 / 3) < 0.1
+    assert a.containment_index(b) < 0.65  # true containment 1/2 ± noise
+
+
+def test_modsketch_merge_byte_identical_and_guards():
+    from sketch_spark.sketches.base import from_bytes, merge_all
+    from sketch_spark.sketches.minhash import ModSampledSet
+
+    data = np.random.default_rng(3).integers(0, 2**40, 100_000, dtype=np.int64)
+    single = ModSampledSet(m=64).update(data)
+    merged = merge_all(ModSampledSet(m=64).update(c) for c in np.array_split(data, 5))
+    assert merged.to_bytes() == single.to_bytes()
+    assert from_bytes(single.to_bytes()).to_bytes() == single.to_bytes()
+    with pytest.raises(ValueError):
+        ModSampledSet(m=64).merge(ModSampledSet(m=128))
+    assert ModSampledSet(m=64).jaccard_index(ModSampledSet(m=64)) == 0.0

@@ -45,29 +45,55 @@ def list_parquet_files(path_or_files: str | list[str]) -> list[str]:
     )
 
 
-def _build_states_for_files(
-    files: Iterable[str], spec_list: list[tuple], row_filter=None, extra_columns=()
+def _build_states_for_units(
+    units: Iterable[tuple], spec_list: list[tuple], row_filter=None, extra_columns=()
 ) -> Iterator[dict[str, bytes]]:
-    """Task body: read needed columns of each file with pyarrow
+    """Task body: read the needed columns of each work unit with pyarrow
     (single-threaded — Spark owns core-level parallelism), update one sketch
-    set, emit serialized states."""
+    set, emit serialized states. A unit is (path, rg_lo, rg_hi): a
+    contiguous row-group range, or the whole file when rg_lo is None."""
     import pyarrow.parquet as pq
 
     from sketch_spark.sketches.base import make_sketch
 
     sketches = {name: make_sketch(kind, **params) for name, kind, _, params, _ in spec_list}
     cols = sorted({c for _, _, c, _, _ in spec_list} | set(extra_columns))
-    any_file = False
-    for path in files:
-        any_file = True
-        table = pq.read_table(path, columns=cols, use_threads=False)
+    any_unit = False
+    for path, rg_lo, rg_hi in units:
+        any_unit = True
+        if rg_lo is None:
+            table = pq.read_table(path, columns=cols, use_threads=False)
+        else:
+            pf = pq.ParquetFile(path)
+            table = pf.read_row_groups(list(range(rg_lo, rg_hi)), columns=cols, use_threads=False)
         if row_filter is not None:
             table = row_filter(table)
         for name, _, col, _, want_float in spec_list:
             vals = _extract_from_array(table.column(col), want_float)
             sketches[name].update(vals)
-    if any_file:
+    if any_unit:
         yield {name: sk.to_bytes() for name, sk in sketches.items()}
+
+
+def _plan_units(files: list[str], target: int) -> list[tuple]:
+    """Work units sized to the cluster. With files ≫ cores (the 100 TB
+    case) each unit is a whole file. With FEWER files than cores (one big
+    parquet per table — the driver's testdata shape), split each file into
+    contiguous row-group ranges so the scan still uses every core; the
+    row group is parquet's natural split unit (footer metadata only —
+    no data read at planning time)."""
+    if len(files) >= target:
+        return [(f, None, None) for f in files]
+    import pyarrow.parquet as pq
+
+    per_file = max(1, target // len(files))
+    units: list[tuple] = []
+    for f in files:
+        n_rg = pq.ParquetFile(f).metadata.num_row_groups
+        k = min(per_file, n_rg)
+        bounds = [round(i * n_rg / k) for i in range(k + 1)]
+        units.extend((f, bounds[i], bounds[i + 1]) for i in range(k) if bounds[i] < bounds[i + 1])
+    return units
 
 
 def _fold_states(dicts: Iterable[dict[str, bytes]]) -> Iterator[dict[str, bytes]]:
@@ -116,12 +142,14 @@ def build_sketches_from_parquet(
         raise ValueError(f"no parquet files under {path_or_files!r}")
     spec_list = [(s.name, s.kind, s.col, dict(s.params), s.is_quantile) for s in specs]
     # tasks sized to the cluster: ~1 slice per core (each task pre-merges its
-    # files locally and ships ONE state set), but never fewer than files/8 so
-    # a straggler file can't dominate a slice on a big cluster
+    # units locally and ships ONE state set), but never fewer than units/8 so
+    # a straggler unit can't dominate a slice on a big cluster. Fewer files
+    # than cores → row-group splitting keeps the scan full-width.
     par = spark.sparkContext.defaultParallelism
-    n_slices = min(len(files), max(par, len(files) // 8))
-    rdd = spark.sparkContext.parallelize(files, n_slices).mapPartitions(
-        lambda part: _build_states_for_files(part, spec_list, row_filter, extra_columns)
+    units = _plan_units(files, par)
+    n_slices = min(len(units), max(par, len(units) // 8))
+    rdd = spark.sparkContext.parallelize(units, n_slices).mapPartitions(
+        lambda part: _build_states_for_units(part, spec_list, row_filter, extra_columns)
     )
     # log-fanout tree of partition-local folds (coalesce = no shuffle), then a
     # driver-side object fold over the last ≤ fanout states. Each state is

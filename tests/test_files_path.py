@@ -7,6 +7,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from sketch_spark.sketches.base import make_sketch
 from sketch_spark.spark.agg import SketchSpec, build_sketches
 from sketch_spark.spark.files import build_sketches_from_parquet, list_parquet_files
 
@@ -74,3 +75,36 @@ def test_list_parquet_files(fixtures):
 def test_empty_dir_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="no parquet files"):
         build_sketches_from_parquet(spark, str(tmp_path), SPECS)
+
+
+def test_row_group_splitting_single_big_file(spark, tmp_path):
+    """One big parquet file with many row groups must fan out into multiple
+    scan units (fewer files than cores is the single-file-table shape) and
+    still produce byte-identical states to a whole-file read."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketch_spark.spark.files import _plan_units, build_sketches_from_parquet
+
+    path = str(tmp_path / "big.parquet")
+    vals = np.arange(200_000, dtype=np.int64)
+    pq.write_table(pa.table({"v": vals}), path, row_group_size=25_000)
+    assert pq.ParquetFile(path).metadata.num_row_groups == 8
+    units = _plan_units([path], target=8)
+    assert len(units) == 8 and all(u[1] is not None for u in units)
+    got = build_sketches_from_parquet(
+        spark, [path], [SketchSpec("h", "hll", "v", {"p": 12})]
+    )["h"]
+    single = make_sketch("hll", p=12).update(vals)
+    assert got.to_bytes() == single.to_bytes()
+    exact = len(vals)
+    assert abs(got.estimate() - exact) <= 3 * got.relative_error() * exact
+
+
+def test_plan_units_whole_files_when_many(tmp_path):
+    from sketch_spark.spark.files import _plan_units
+
+    fs = [f"/x/{i}.parquet" for i in range(64)]
+    units = _plan_units(fs, target=32)
+    assert units == [(f, None, None) for f in fs]

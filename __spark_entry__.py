@@ -8,9 +8,13 @@ computes the sketch estimate AND the exact answer on the real data, returns
 oracle returns the expected constants. Everything is deterministic (seeded
 hashes), so these are stable equalities, not flaky statistical tests.
 
-Operator inventory coverage: SURVEY.md §2.1 (HLL #1, Bloom #2, CMS #3,
-Count sketch #4 — pytest, MinHash #6 — here + pytest, KLL/t-digest #8) plus
-the training-pipeline ops (dedup, token stats, text quality, similarity).
+Operator inventory coverage (36 gated queries): every SURVEY.md §2.1 core
+structure (HLL, Bloom, CMS, Count sketch + 4-wise, bottom-k + counting
+MinHash, KLL, t-digest), the §2.2 secondary structures shipped in rounds
+1-2 (dhll, bbmh, kminhash, smh, hmh, pccm, realccm, threshold-distinct
+FilterHLL, Misra-Gries, multiplicity), three streaming shapes, and the
+training-pipeline ops (dedup exact/LSH/embedding, token stats, text
+quality, similarity/ANN).
 """
 
 from __future__ import annotations

@@ -237,13 +237,16 @@ def q_minhash_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_topk_parts_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Misra-Gries top-10 heavy hitters over l_partkey. Capacity m=8192
-    exceeds the sf0.01 distinct-part count, so counts are exact and the
-    oracle is a plain GROUP BY ... LIMIT 10 (sketch_spark.sketches.topk;
-    reference top-k analog hk.h:267-460 whose own merge is broken —
-    SURVEY.md §2.2)."""
+    """Misra-Gries top-10 heavy hitters over l_partkey. Capacity is sized
+    above the table's distinct-part count (cheap to know; ~2 KB of state
+    per 100 keys), so no decrements ever fire, counts are exact at ANY sf,
+    and the oracle is a plain GROUP BY ... LIMIT 10
+    (sketch_spark.sketches.topk; reference top-k analog hk.h:267-460 whose
+    own merge is broken — SURVEY.md §2.2)."""
     li = _t(spark, sf_dir, "lineitem")
-    sk = build_sketches(li, [SketchSpec("t", "topk", "l_partkey", {"m": 8192})])["t"]
+    n_distinct = li.select(F.countDistinct("l_partkey")).first()[0]
+    m = max(8192, int(n_distinct * 5 // 4))
+    sk = build_sketches(li, [SketchSpec("t", "topk", "l_partkey", {"m": m})])["t"]
     rows = [Row(l_partkey=int(k), est_cnt=int(c)) for k, c in sk.topk(10)]
     return spark.createDataFrame(rows)
 
@@ -431,10 +434,17 @@ def q_quality_filter_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN recall@5 against brute force for 3 query vectors
     (sketch_spark.pipeline.similarity.ann_topk). Returns per-query recall
-    booleans (ANN must find ≥ 3 of the true top-5); oracle: constants."""
+    booleans (ANN must find ≥ 3 of the true top-5); oracle: constants.
+    n_planes scales with corpus size so buckets hold ~10 vectors at any sf
+    (the production sizing rule: planes ≈ log2(n/bucket_target), recall
+    amplified across tables)."""
+    import math
+
     from sketch_spark.pipeline.similarity import ann_topk, brute_force_topk
 
     emb = _t(spark, sf_dir, "embeddings")
+    n_vec = emb.count()
+    n_planes = max(4, int(math.log2(max(n_vec, 16) / 10)))
     qrows = emb.where(F.col("vec_id") < 3).collect()
     qvecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qids = np.array([r["vec_id"] for r in qrows])
@@ -442,7 +452,7 @@ def q_ann_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in brute_force_topk(emb, qvecs, qids, k=5).collect():
         truth.setdefault(r["query_id"], set()).add(r["vec_id"])
     got: dict[int, set] = {}
-    for r in ann_topk(emb, qvecs, qids, k=5, n_planes=6, n_tables=12).collect():
+    for r in ann_topk(emb, qvecs, qids, k=5, n_planes=n_planes, n_tables=24).collect():
         got.setdefault(r["query_id"], set()).add(r["vec_id"])
     rows = [
         Row(query_id=int(q), recall_ok=bool(len(truth[q] & got.get(q, set())) >= 3))

@@ -275,7 +275,14 @@ class MorrisCMS(_TableSketch):
     geometric jumps (number of failed trials before the next increment is
     Geometric(2^−r)), so a cell with n hits costs O(log n) draws instead of
     n sequential coin flips. Draws are counter-based (splitmix of
-    (seed, row, cell, r, round)), so a given batch sequence is reproducible.
+    (seed, row, cell, r, round, epoch)), so a given batch sequence is
+    reproducible. The ``epoch`` term is a per-sketch update() counter that
+    rides in the serialized state (kill/resume stays deterministic): without
+    it, a cell whose register didn't advance would re-draw the IDENTICAL
+    geometric jump every call, and once that fixed jump exceeds a batch's
+    per-cell hit count the counter freezes forever — feeding a stream in
+    many small Arrow batches (the Spark path) would then underestimate
+    without bound vs one big batch.
     """
 
     kind = "pccm"
@@ -287,17 +294,36 @@ class MorrisCMS(_TableSketch):
         super().__init__(l2sz=l2sz, nh=nh, seed=seed)
         self.nbits = int(nbits)
         self.maxval = (1 << self.nbits) - 1
+        # update()-call counter: fresh entropy per call (see class docstring).
+        # State, not a param — sketches merged at different epochs are still
+        # the same sketch family, so it must not break _check_mergeable.
+        self.rounds = 0
 
     def _params(self) -> dict[str, Any]:
         return {"l2sz": self.l2sz, "nh": self.nh, "seed": self.seed, "nbits": self.nbits}
 
-    def _geom_uniforms(self, row: int, cells: np.ndarray, r: np.ndarray, rnd: int) -> np.ndarray:
+    def _arrays(self) -> dict[str, np.ndarray]:
+        out = super()._arrays()
+        out["rounds"] = np.array([self.rounds], dtype=np.uint64)
+        return out
+
+    @classmethod
+    def _from_state(cls, params, arrays):
+        obj = cls(**params)
+        obj.table = arrays["table"].astype(cls.dtype)
+        obj.rounds = int(arrays["rounds"][0]) if "rounds" in arrays else 0
+        return obj
+
+    def _geom_uniforms(
+        self, row: int, cells: np.ndarray, r: np.ndarray, rnd: int, epoch: int
+    ) -> np.ndarray:
         with np.errstate(over="ignore"):
             z = (
                 _U64(self.seed)
                 + _U64(0x9E3779B97F4A7C15) * (cells.astype(np.uint64) + _U64(1))
                 + _U64(0xBF58476D1CE4E5B9) * _U64(row + 1)
                 + _U64(0x94D049BB133111EB) * (r.astype(np.uint64) + _U64(rnd << 8))
+                + _U64(0xD6E8FEB86659FD93) * _U64(epoch + 1)
             )
             z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
             z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
@@ -307,6 +333,8 @@ class MorrisCMS(_TableSketch):
     def update(self, values: np.ndarray, counts: np.ndarray | None = None) -> "MorrisCMS":
         if len(values) == 0:
             return self
+        epoch = self.rounds
+        self.rounds += 1
         idx = self._row_indices(values)  # (nh, n)
         c = None if counts is None else np.asarray(counts, dtype=np.int64)
         for row in range(self.nh):
@@ -326,7 +354,7 @@ class MorrisCMS(_TableSketch):
                 active = (rem > 0) & (r < self.maxval)
                 if not active.any():
                     break
-                u = self._geom_uniforms(row, cells, r, rnd)
+                u = self._geom_uniforms(row, cells, r, rnd, epoch)
                 p = np.exp2(-r.astype(np.float64))
                 with np.errstate(divide="ignore", over="ignore"):
                     g = np.ceil(np.log(u) / np.log1p(-p))
@@ -340,10 +368,14 @@ class MorrisCMS(_TableSketch):
 
     def merge(self, other: "MorrisCMS") -> "MorrisCMS":
         self._check_mergeable(other)
-        a, b = self.table, other.table
+        # int16 arithmetic: two uint8 cells both at maxval=255 would wrap to 0
+        # under uint8 max+1 before the clamp could catch it.
+        a = self.table.astype(np.int16)
+        b = other.table.astype(np.int16)
         merged = np.maximum(a, b) + ((a == b) & (a > 0))
         np.minimum(merged, self.maxval, out=merged)
         self.table = merged.astype(np.uint8)
+        self.rounds = max(self.rounds, other.rounds)
         return self
 
     @staticmethod

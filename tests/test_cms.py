@@ -248,6 +248,62 @@ def test_pccm_weighted_counts_equivalent_scale():
     assert w.to_bytes() == r.to_bytes()
 
 
+def test_pccm_many_small_updates_match_one_big_update():
+    """Regression: draws must take fresh entropy per update() call. Before the
+    per-sketch round counter, a cell whose register didn't advance re-drew
+    the identical geometric jump every call; once that fixed jump exceeded
+    the per-call hit count the counter froze (200k hits fed as 2000×100 gave
+    est 32 vs 65536 in one call). Feed the same stream both ways and require
+    the registers to land within normal Morris noise of each other."""
+    from sketch_spark.sketches.cms import MorrisCMS
+
+    n, chunk = 200_000, 100
+    vals = np.full(chunk, 42, dtype=np.uint64)
+    for seed in (7, 19, 101):
+        many = MorrisCMS(l2sz=10, nh=4, seed=seed)
+        for _ in range(n // chunk):
+            many.update(vals)
+        one = MorrisCMS(l2sz=10, nh=4, seed=seed).update(np.full(n, 42, dtype=np.uint64))
+        idx = one._row_indices(np.array([42], dtype=np.uint64))
+        for row in range(one.nh):
+            r_many = int(many.table[row, idx[row, 0]])
+            r_one = int(one.table[row, idx[row, 0]])
+            assert abs(r_many - r_one) <= 3, (seed, row, r_many, r_one)
+            assert abs(r_many - np.log2(n)) <= 4.0, (seed, row, r_many)
+
+
+def test_pccm_rounds_persist_and_resume_deterministic():
+    """The update-call counter rides in the serialized state, so kill/resume
+    mid-stream continues the exact draw sequence (byte-identical to the
+    uninterrupted run)."""
+    from sketch_spark.sketches.base import from_bytes
+    from sketch_spark.sketches.cms import MorrisCMS
+
+    v = np.full(100, 42, dtype=np.uint64)
+    a = MorrisCMS(l2sz=10, nh=4, seed=7)
+    for _ in range(50):
+        a.update(v)
+    b = from_bytes(a.to_bytes())  # simulated kill/resume
+    assert b.rounds == a.rounds == 50
+    for _ in range(50):
+        a.update(v)
+        b.update(v)
+    assert a.to_bytes() == b.to_bytes()
+
+
+def test_pccm_merge_no_uint8_wraparound_at_saturation():
+    """max(255,255)+1 in uint8 would wrap to 0 before the clamp; the merge
+    must do its arithmetic wide enough to saturate instead."""
+    from sketch_spark.sketches.cms import MorrisCMS
+
+    a = MorrisCMS(l2sz=8, nh=1, nbits=8)
+    b = MorrisCMS(l2sz=8, nh=1, nbits=8)
+    a.table[0, 5] = 255
+    b.table[0, 5] = 255
+    a.merge(b)
+    assert a.table[0, 5] == 255
+
+
 # ---------------- decayed CMS (reference realccm_t, batch-epoch semantics) ----
 
 

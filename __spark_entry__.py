@@ -689,6 +689,44 @@ def q_lsh_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP resolution gate (pairs → connected components →
+    keep-list): plant a 4-doc similarity CHAIN per family — v0⊂v1⊂v2⊂v3 by
+    successive md5-noise appends sized so adjacent Jaccard ≈ 0.80-0.86
+    (detected) while the chain ends sit at ≈ 0.57 (rejected by the 0.7
+    threshold) — so the keep-list is only right if the transitive closure
+    is computed, not just the pairs. Families are keyed off documents
+    doc_ids (every 10th); md5 noise makes cross-family similarity ~0, so
+    the exact answer is the family bases: doc_id % 10 = 0, one kept doc
+    per chain (min id wins, exact_dedup's contract).
+
+    256 hashes / 64 bands × 4 rows: banding recall ≈ 1 for J ≥ 0.5 and
+    est_jaccard noise σ ≈ 0.025, so adjacent-edge detection and end-edge
+    rejection are both ≥ 4σ margins — deterministic in practice at any sf.
+    """
+    from sketch_spark.pipeline.dedup import neardup_dedup
+
+    bases = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0).select("doc_id")
+
+    def chunk(tag: str):
+        return F.md5(F.concat(F.lit("fam"), F.col("doc_id").cast("string"), F.lit(":" + tag)))
+
+    base_text = F.concat_ws(" ", *[chunk(f"b{k}") for k in range(8)])
+    levels = []
+    for j in range(4):
+        text = F.concat_ws(" ", base_text, *[chunk(f"a{k}") for k in range(2 * j)])
+        levels.append(
+            bases.select(
+                (F.col("doc_id") + j * 1_000_000).alias("doc_id"), text.alias("text")
+            )
+        )
+    corpus = levels[0]
+    for lv in levels[1:]:
+        corpus = corpus.unionByName(lv)
+    kept = neardup_dedup(corpus, threshold=0.7, num_hashes=256, bands=64, seed=42)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 def q_threshold_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FilterHLL capability (reference filterhll.h:11-113): distinct users
     with ≥ 10 events, via repartition-co-located CMS-gated HLL insertion —
@@ -987,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smh_jaccard_parts": q_smh_jaccard_parts,
         "hmh_card_jaccard_parts": q_hmh_card_jaccard_parts,
         "lsh_neardup_docs": q_lsh_neardup_docs,
+        "lsh_neardup_keep": q_lsh_neardup_keep,
         "threshold_distinct_users": q_threshold_distinct_users,
         "streaming_windowed_daily_hll": q_streaming_windowed_daily_hll,
         "pccm_heavy_parts": q_pccm_heavy_parts,
@@ -1244,6 +1283,11 @@ def oracle_sql() -> dict[str, str]:
         "lsh_neardup_docs": (
             "SELECT CAST(count(*) AS BIGINT) AS n_exact_dup_pairs, TRUE AS lsh_recall_all "
             "FROM documents WHERE doc_id % 10 = 0"
+        ),
+        "lsh_neardup_keep": (
+            # chain resolution: each planted 4-doc chain collapses to its
+            # base (min id); bases are every 10th doc_id by construction
+            "SELECT doc_id FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id"
         ),
         "threshold_distinct_users": (
             "SELECT CAST(count(*) AS BIGINT) AS exact_heavy_users, TRUE AS within_bound "

@@ -141,7 +141,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 8,
-    max_bucket_size: int = 64,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded LSH — a self-join on band buckets.
 
@@ -161,6 +161,16 @@ def lsh_candidate_pairs(
     buckets are elided (they remain reachable through the hub). Running
     :func:`exact_dedup` first is the documented pre-step that keeps
     byte-identical floods out of LSH entirely.
+
+    CONTRACT NOTE — the guard changes the pair semantics: above
+    `max_bucket_size` the output is a SUBSET of the true candidate pairs
+    (hub→member only). That is exactly what connected-component resolution
+    needs (:func:`connected_components` / :func:`neardup_dedup`), but a
+    caller consuming pairs directly gets incomplete member↔member pairs
+    under identical-doc floods — and if a hub pair later fails a Jaccard
+    threshold filter, member↔member connectivity is lost with it. Pass
+    ``max_bucket_size=None`` to disable the guard and get exact all-pairs
+    buckets (O(bucket²) — only safe after exact dedup or on bounded data).
     """
     band_exprs = [
         # single 64-bit key folding band_id into the hash — one long column
@@ -171,6 +181,15 @@ def lsh_candidate_pairs(
         for i in range(bands)
     ]
     exploded = sigs.select(id_col, F.explode(F.array(*band_exprs)).alias("bh"))
+    if max_bucket_size is None:
+        l = exploded.alias("l")
+        r = exploded.alias("r")
+        return (
+            l.join(r, "bh")
+            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+            .distinct()
+        )
     # bucket size + representative via a window over bh: ONE shuffle of the
     # exploded rows (a groupBy+join would shuffle them twice, and the stats
     # side is not broadcastable at corpus scale), and the result stays
@@ -222,7 +241,7 @@ def minhash_lsh_neardups(
     num_hashes: int = 128,
     bands: int = 16,
     seed: int = 42,
-    max_bucket_size: int = 64,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """End-to-end near-duplicate pairs at estimated Jaccard ≥ threshold.
 
@@ -230,7 +249,14 @@ def minhash_lsh_neardups(
     floods (the common web-crawl case) otherwise form giant LSH buckets.
     The `max_bucket_size` star-pairing guard in :func:`lsh_candidate_pairs`
     keeps candidate growth linear even without the pre-step, but exact
-    dedup is cheaper (one hash shuffle) and removes the flood outright."""
+    dedup is cheaper (one hash shuffle) and removes the flood outright.
+
+    Under the guard the result is a SUBSET of true near-dup pairs for
+    buckets above `max_bucket_size` (hub→member only; and a hub pair that
+    fails the threshold drops its members' connectivity too) — complete for
+    connected-component dedup (:func:`neardup_dedup`), incomplete for
+    direct pair consumers. ``max_bucket_size=None`` restores exact
+    all-pairs semantics at O(bucket²) cost."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes=num_hashes, seed=seed)
     sigs = sigs.persist()
     sigs.count()  # materialize before the self-join: otherwise both join
@@ -280,15 +306,26 @@ def simhash_neardups(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket_size: int = 64,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """Pairs with identical SimHash (bucket join; Hamming-k via rotations is
     the same join repeated k times — kept simple here).
 
     Same hot-bucket guard as :func:`lsh_candidate_pairs`: buckets above
     `max_bucket_size` use star pairing against the bucket-min id so a flood
-    of identical docs yields O(n) pairs, not O(n²)."""
+    of identical docs yields O(n) pairs, not O(n²) — i.e. the output is a
+    SUBSET of true same-signature pairs for oversized buckets (complete for
+    connected-component consumers). ``max_bucket_size=None`` disables the
+    guard for exact-pair consumers."""
     sigs = simhash_signatures(df, text_col, id_col)
+    if max_bucket_size is None:
+        l = sigs.alias("l")
+        r = sigs.alias("r")
+        return (
+            l.join(r, "simhash")
+            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        )
     w = Window.partitionBy("simhash")
     tagged = sigs.withColumn("_bsize", F.count("*").over(w)).withColumn(
         "_bmin", F.min(id_col).over(w)
@@ -306,6 +343,116 @@ def simhash_neardups(
         .select(F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b"))
     )
     return pairs_small.unionByName(pairs_big)
+
+
+# ---------------- near-dup group resolution (pairs → components → keep) ------
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve near-dup pair edges into duplicate groups: (id, component)
+    where ``component`` is the minimum id in the vertex's connected
+    component. The last step of every real dedup — LSH emits *pairs*
+    (A≈B, B≈C); "which docs do I keep" needs the transitive closure.
+
+    Algorithm: iterative min-label propagation with pointer jumping.
+    Each round every vertex takes the min label over itself and its
+    neighbors (one shuffle join + one groupBy), then shortcuts
+    ``label ← label(label)`` (one more self-join), which collapses chains
+    logarithmically — a length-d path resolves in O(log d) rounds instead
+    of O(d). Labels only decrease and are bounded below by the component
+    min, so the fixpoint is exact. This is the standard Spark CC recipe
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    simplified to the label-propagation + shortcut form).
+
+    Scale design (100 TB corpus): the edge set is the *near-dup pair*
+    output — orders of magnitude smaller than the corpus — and every step
+    is a key-partitioned join/groupBy AQE can replan. The hot-bucket star
+    guard upstream (lsh_candidate_pairs) guarantees flood components
+    arrive star-shaped, which this resolves in ONE round. Per-round
+    ``localCheckpoint`` truncates the iterative lineage so the plan stays
+    flat; on a real cluster with a checkpoint dir, swap for
+    ``checkpoint()`` to also survive executor loss.
+
+    Not in the reference (its similarity story ends at pairwise Jaccard,
+    caldiskstest.cpp:38-45); required by the training-pipeline dedup brief.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (
+        edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        msgs = edges.join(labels.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), "label"
+        )
+        new = labels.unionByName(msgs).groupBy("id").agg(F.min("label").alias("label"))
+        # pointer jump: label ← label(label). Every label value is a vertex
+        # id (labels start as ids and min() only selects existing ones), so
+        # the lookup always hits; left+coalesce keeps it total regardless.
+        hop = new.select(F.col("id").alias("label"), F.col("label").alias("_l2"))
+        new = new.join(hop, "label", "left").select(
+            "id", F.coalesce("_l2", "label").alias("label")
+        )
+        new = new.localCheckpoint()
+        changed = (
+            labels.withColumnRenamed("label", "_old")
+            .join(new, "id")
+            .where(F.col("_old") != F.col("label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def neardup_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 128,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket_size: int | None = 64,
+    max_iters: int = 25,
+) -> DataFrame:
+    """End-to-end near-duplicate dedup: keep one document per near-dup
+    GROUP (min id wins — deterministic), mirroring :func:`exact_dedup`'s
+    contract. Pipeline: MinHash signatures → banded-LSH candidate pairs →
+    signature-Jaccard threshold → connected components → anti-join losers.
+
+    Docs in no near-dup pair keep themselves; docs in a component survive
+    iff their id is the component minimum. One pass over the corpus for
+    signatures; everything after operates on the (small) pair/label set.
+    """
+    pairs = minhash_lsh_neardups(
+        df,
+        text_col,
+        id_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, max_iters=max_iters).withColumnRenamed("id", id_col)
+    return (
+        df.join(comp, id_col, "left")
+        .where(F.col("component").isNull() | (F.col("component") == F.col(id_col)))
+        .drop("component")
+    )
 
 
 def ngram_jaccard_pairs(

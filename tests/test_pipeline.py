@@ -147,6 +147,86 @@ def test_lsh_small_buckets_still_all_pairs(docs):
     assert ("d1", "d2") in pairs and ("d1", "d3") in pairs and ("d2", "d3") in pairs
 
 
+def test_lsh_no_guard_returns_exact_all_pairs(spark):
+    """max_bucket_size=None must restore exact all-pairs bucket semantics
+    (the documented opt-out for direct pair consumers)."""
+    n = 60
+    rows = [Row(doc_id=f"d{i:05d}", text="exactly the same web page content here") for i in range(n)]
+    df = spark.createDataFrame(rows)
+    sigs = minhash_signatures(df, num_hashes=32)
+    pairs = lsh_candidate_pairs(sigs, bands=8, rows_per_band=4, max_bucket_size=None)
+    assert pairs.count() == n * (n - 1) // 2
+    assert simhash_neardups(df, max_bucket_size=None).count() == n * (n - 1) // 2
+
+
+# ---------------- connected components + keep-list ---------------------------
+
+
+def test_connected_components_chain_star_cycle(spark):
+    """Exact transitive closure on hand-built shapes: a chain (the case LSH
+    pairs alone cannot resolve), a cycle, a star (the hot-bucket guard's
+    output shape), and an isolated pair — component = min id per group."""
+    from sketch_spark.pipeline.dedup import connected_components
+
+    edges = (
+        [("a1", "a2"), ("a2", "a3"), ("a3", "a4")]            # chain
+        + [("c1", "c2"), ("c2", "c3"), ("c1", "c3")]          # cycle
+        + [("h0", "h1"), ("h0", "h2"), ("h0", "h3")]          # star
+        + [("x1", "x2")]                                       # pair
+    )
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {
+        "a1": "a1", "a2": "a1", "a3": "a1", "a4": "a1",
+        "c1": "c1", "c2": "c1", "c3": "c1",
+        "h0": "h0", "h1": "h0", "h2": "h0", "h3": "h0",
+        "x1": "x1", "x2": "x1",
+    }
+
+
+def test_connected_components_long_chain_converges_log_rounds(spark):
+    """Pointer jumping must collapse a length-60 path well inside 10 rounds
+    (plain propagation would need 60)."""
+    from sketch_spark.pipeline.dedup import connected_components
+
+    edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(60)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = connected_components(pairs, max_iters=10).collect()
+    assert len(got) == 61
+    assert {r["component"] for r in got} == {"n000"}
+
+
+def test_neardup_dedup_resolves_chains_end_to_end(spark):
+    """A≈B≈C variant chains: keep exactly one doc per near-dup group (min
+    id), pass unrelated docs through untouched — exact_dedup's contract
+    extended to near-duplicates."""
+    from sketch_spark.pipeline.dedup import neardup_dedup
+
+    # non-repeating bases: repetition collapses the DISTINCT shingle set and
+    # tanks Jaccard for small absolute edits
+    base1 = (
+        "the quick brown fox jumps over the lazy dog while seventeen curious "
+        "penguins waddle across frozen antarctic ridges carrying bright orange "
+        "fish toward hungry chicks waiting beside weathered granite boulders"
+    )
+    base2 = (
+        "distributed query engines shuffle columnar parquet row groups through "
+        "arrow record batches while adaptive planners rebalance skewed joins "
+        "across thousands of executor cores without spilling intermediate state"
+    )
+    rows = [
+        Row(doc_id="g1_0", text=base1),
+        Row(doc_id="g1_1", text=base1 + " extra tail words appended here"),
+        Row(doc_id="g1_2", text=base1 + " extra tail words appended here plus more drift"),
+        Row(doc_id="g2_0", text=base2),
+        Row(doc_id="g2_1", text=base2 + " slightly changed ending for group two"),
+        Row(doc_id="solo", text="completely different short content about nothing similar at all"),
+    ]
+    df = spark.createDataFrame(rows)
+    kept = sorted(r["doc_id"] for r in neardup_dedup(df).collect())
+    assert kept == ["g1_0", "g2_0", "solo"]
+
+
 def test_ngram_jaccard_exact_value(spark):
     df = spark.createDataFrame(
         [Row(doc_id="x", text="a b c d"), Row(doc_id="y", text="a b c e")]

@@ -101,14 +101,17 @@ def test_aqe_enabled(spark):
 
 
 def test_threshold_distinct_copartitions_on_value(spark, docs):
-    """FilterHLL composition: the plan must hash-partition on the gated
-    column BEFORE the Arrow exchange — without the co-location the
-    per-partition CMS gate undercounts split values."""
+    """FilterHLL composition: the plan must hash-partition the PAIR stream
+    on the gated value BEFORE the reduce-side Arrow exchange — without the
+    co-location the per-partition CMS gate undercounts split values. (The
+    shuffle moves (v, partial_count) pairs, not raw rows — the skew story.)"""
+    from sketch_spark.spark.filterhll import partial_value_counts
+
     # threshold_distinct collects eagerly; audit the same pre-collect
-    # pipeline it builds (select + repartition on the gated column)
-    src = docs.select("doc_id").repartition("doc_id")
+    # pipeline it builds (map-side pairs + repartition on the value)
+    src = partial_value_counts(docs, "doc_id").repartition("v")
     plan = _plan(src)
-    assert "hashpartitioning(doc_id" in plan, plan
+    assert "hashpartitioning(v" in plan, plan
 
 
 def test_embedding_neardup_join_is_equi_join(spark, sf_dir):

@@ -658,6 +658,57 @@ def q_hmh_card_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pmh_weighted_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-MinHash weighted-set similarity (reference pmh.h:80-140, fixed to
+    key draws on the feature as Moulton-Jiang arXiv:1809.04052 requires):
+    two tf-weighted part sets — weight = Σ l_quantity per l_partkey over
+    even vs odd orderkeys — sketched via the distributed weighted build,
+    estimate within 4σ of the exact probability Jaccard (computed in-query
+    by the quadratic formula; features capped at l_partkey < 2000 so the
+    exact cross join stays ≤ 4M rows at any sf)."""
+    from sketch_spark.spark.agg import build_weighted_sketch
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 2000)
+    wa = (
+        li.where(F.col("l_orderkey") % 2 == 0)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("w"))
+    )
+    wb = (
+        li.where(F.col("l_orderkey") % 2 == 1)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("w"))
+    )
+    m = 512
+    sa = build_weighted_sketch(wa, "pmh", "l_partkey", "w", {"m": m, "seed": 42})
+    sb = build_weighted_sketch(wb, "pmh", "l_partkey", "w", {"m": m, "seed": 42})
+    est = sa.jaccard(sb)
+    # exact J_P = Σ_i 1/Σ_k max(xa_k/xa_i, xb_k/xb_i) over i in both sets
+    t = (
+        wa.select(F.col("l_partkey").alias("k"), F.col("w").alias("xa"))
+        .join(
+            wb.select(F.col("l_partkey").alias("k"), F.col("w").alias("xb")),
+            "k",
+            "full",
+        )
+        .fillna(0.0, subset=["xa", "xb"])
+    )
+    ti = t.where((F.col("xa") > 0) & (F.col("xb") > 0)).select(
+        F.col("k").alias("i"), F.col("xa").alias("xai"), F.col("xb").alias("xbi")
+    )
+    denom = (
+        ti.crossJoin(t)
+        .groupBy("i")
+        .agg(F.sum(F.greatest(F.col("xa") / F.col("xai"), F.col("xb") / F.col("xbi"))).alias("d"))
+    )
+    exact_jp = denom.select(F.sum(1.0 / F.col("d"))).first()[0] or 0.0
+    sigma = float(np.sqrt(max(exact_jp * (1 - exact_jp), 1e-12) / m))
+    ok = abs(est - exact_jp) <= 4 * sigma
+    return spark.createDataFrame(
+        [Row(exact_jp=float(round(exact_jp, 6)), within_tol=bool(ok))]
+    )
+
+
 def q_lsh_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup recall gate: plant one exact copy of every 10th
     document (and one near-copy of every 10th+5 doc for realism), run the
@@ -896,6 +947,46 @@ def q_pccm_heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows).orderBy(F.desc("exact_cnt"), "l_partkey")
 
 
+def q_pccm_heavy_parts_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pccm's DISTRIBUTED merge path (the coalesce(1) gate above fixes the
+    batch sequence but never exercises a real tree merge): 8 partitions of
+    per-partition Morris partials folded through tree_merge_states with the
+    reference's own combine rule max(i,j)+(i==j) (update.h:74-79).
+
+    Envelope math: that rule only advances a register on an exact tie, so
+    max-merging P independent Morris(n/P) counters recovers the split's
+    log2(P) registers only when ties line up — each merge LEVEL can run up
+    to one register low vs the single-stream counter. The distributed
+    estimate is therefore biased low by up to 2^log2(P) = P on top of the
+    single-stream factor-16 envelope (Morris a=1 noise + CMS-min of 4 rows
+    tracking the unluckiest row): assert exact/(16·P) ≤ est ≤ exact·16
+    with P = 8 on the exact top-5 keys."""
+    n_parts = 8
+    li = _t(spark, sf_dir, "lineitem").repartition(n_parts)
+    sk = build_sketches(
+        li, [SketchSpec("p", "pccm", "l_partkey", {"l2sz": 16, "nh": 4, "nbits": 8})]
+    )["p"]
+    top = (
+        li.groupBy("l_partkey").count()
+        .orderBy(F.desc("count"), F.asc("l_partkey"))
+        .limit(5)
+        .collect()
+    )
+    keys = np.array([r["l_partkey"] for r in top], dtype=np.int64)
+    ests = sk.query(keys)
+    rows = [
+        Row(
+            l_partkey=int(r["l_partkey"]),
+            exact_cnt=int(r["count"]),
+            within_merge_env=bool(
+                r["count"] / (16.0 * n_parts) <= ests[i] <= r["count"] * 16.0
+            ),
+        )
+        for i, r in enumerate(top)
+    ]
+    return spark.createDataFrame(rows).orderBy(F.desc("exact_cnt"), "l_partkey")
+
+
 def q_embedding_neardup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup gate: plant an exact copy of every 20th
     vector, run multi-table LSH bucketing → star-guarded candidate join →
@@ -1024,11 +1115,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kminhash_jaccard_parts": q_kminhash_jaccard_parts,
         "smh_jaccard_parts": q_smh_jaccard_parts,
         "hmh_card_jaccard_parts": q_hmh_card_jaccard_parts,
+        "pmh_weighted_jaccard_parts": q_pmh_weighted_jaccard_parts,
         "lsh_neardup_docs": q_lsh_neardup_docs,
         "lsh_neardup_keep": q_lsh_neardup_keep,
         "threshold_distinct_users": q_threshold_distinct_users,
         "streaming_windowed_daily_hll": q_streaming_windowed_daily_hll,
         "pccm_heavy_parts": q_pccm_heavy_parts,
+        "pccm_heavy_parts_distributed": q_pccm_heavy_parts_distributed,
         "streaming_decayed_user_counts": q_streaming_decayed_user_counts,
         "embedding_neardup_planted": q_embedding_neardup_planted,
         "streaming_stateful_by_key": q_streaming_stateful_by_key,
@@ -1284,6 +1377,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_exact_dup_pairs, TRUE AS lsh_recall_all "
             "FROM documents WHERE doc_id % 10 = 0"
         ),
+        "pmh_weighted_jaccard_parts": (
+            """
+            WITH a AS (SELECT l_partkey k, SUM(l_quantity) w FROM lineitem
+                       WHERE l_orderkey % 2 = 0 AND l_partkey < 2000 GROUP BY 1),
+                 b AS (SELECT l_partkey k, SUM(l_quantity) w FROM lineitem
+                       WHERE l_orderkey % 2 = 1 AND l_partkey < 2000 GROUP BY 1),
+                 t AS (SELECT COALESCE(a.k, b.k) k, COALESCE(a.w, 0) xa, COALESCE(b.w, 0) xb
+                       FROM a FULL JOIN b ON a.k = b.k),
+                 d AS (SELECT i.k, SUM(GREATEST(kk.xa / i.xa, kk.xb / i.xb)) AS denom
+                       FROM t i CROSS JOIN t kk WHERE i.xa > 0 AND i.xb > 0 GROUP BY i.k)
+            SELECT CAST(ROUND(SUM(1.0 / denom), 6) AS DOUBLE) AS exact_jp, TRUE AS within_tol
+            FROM d
+            """
+        ),
         "lsh_neardup_keep": (
             # chain resolution: each planted 4-doc chain collapses to its
             # base (min id); bases are every 10th doc_id by construction
@@ -1301,6 +1408,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pccm_heavy_parts": (
             "SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt, TRUE AS within_factor16 "
+            "FROM lineitem GROUP BY l_partkey ORDER BY exact_cnt DESC, l_partkey LIMIT 5"
+        ),
+        "pccm_heavy_parts_distributed": (
+            "SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt, TRUE AS within_merge_env "
             "FROM lineitem GROUP BY l_partkey ORDER BY exact_cnt DESC, l_partkey LIMIT 5"
         ),
         "streaming_decayed_user_counts": (

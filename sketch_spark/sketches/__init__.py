@@ -14,6 +14,7 @@ from sketch_spark.sketches.minhash import (  # noqa: F401
     ModSampledSet,
 )
 from sketch_spark.sketches.mult import SampledMultiplicity  # noqa: F401
+from sketch_spark.sketches.pmh import PMinHash  # noqa: F401
 from sketch_spark.sketches.smh import SuperMinHash  # noqa: F401
 from sketch_spark.sketches.tdigest import TDigest  # noqa: F401
 from sketch_spark.sketches.topk import MisraGries  # noqa: F401

@@ -189,6 +189,42 @@ def build_sketches(df: DataFrame, specs: list[SketchSpec], fanout: int = 16) -> 
     return out
 
 
+def build_weighted_sketch(
+    df: DataFrame,
+    kind: str,
+    value_col: str,
+    weight_col: str,
+    params: dict | None = None,
+    fanout: int = 16,
+) -> Sketch:
+    """Weighted build: one sketch over (value, weight) PAIR rows — for kinds
+    whose ``update(values, counts=...)`` takes per-item weights (cms,
+    countsketch, topk, pccm, pmh). Same partial → tree-merge shape as
+    :func:`build_sketches`; weights ride the scan, never a shuffle.
+
+    For P-MinHash note the monoid semantics: cross-partition merge
+    max-combines a feature's weight (sketches/pmh.py docstring) — aggregate
+    additive weights per feature first (one groupBy) when sum semantics are
+    required."""
+    params = dict(params or {})
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sk = make_sketch(kind, **params)
+        for batch in batches:
+            vals = _extract_column(batch, value_col, want_float=False)
+            wts = _extract_column(batch, weight_col, want_float=True)
+            if len(vals):
+                sk.update(vals, counts=wts)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(["w"], pa.string()), pa.array([sk.to_bytes()], pa.binary())],
+            names=["name", "state"],
+        )
+
+    states = df.select(value_col, weight_col).mapInArrow(build, "name string, state binary")
+    out = tree_merge_states(states, fanout=fanout)
+    return out.get("w", make_sketch(kind, **params))
+
+
 def sketch_by_key(df: DataFrame, key: str, specs: list[SketchSpec]) -> DataFrame:
     """Grouped sketches, two-phase (scales to high-cardinality keys).
 

@@ -291,6 +291,29 @@ def test_pccm_rounds_persist_and_resume_deterministic():
     assert a.to_bytes() == b.to_bytes()
 
 
+def test_pccm_distributed_merge_envelope():
+    """The gate's distributed claim at kernel level: P partials of n/P hits
+    max-merged land in [exact/(16·P), exact·16] — the reference merge rule
+    (max + tie-increment) recovers split registers only on ties, so the
+    merged counter runs low by up to one register per merge level."""
+    from sketch_spark.sketches.base import merge_all
+    from sketch_spark.sketches.cms import MorrisCMS
+
+    n, P = 100_000, 8
+    key = np.array([77], dtype=np.uint64)
+    for seed in (1, 7, 23, 101, 997):
+        # uneven split: per-partial register trajectories must differ (the
+        # draws are counter-based, so equal partials would be identical)
+        sizes = [n // P + (i - P // 2) * 1931 for i in range(P)]
+        exact = sum(sizes)
+        parts = [
+            MorrisCMS(l2sz=12, nh=4, seed=seed).update(np.full(sz, 77, dtype=np.uint64))
+            for sz in sizes
+        ]
+        est = merge_all(parts).query(key)[0]
+        assert exact / (16.0 * P) <= est <= exact * 16.0, (seed, est)
+
+
 def test_pccm_merge_no_uint8_wraparound_at_saturation():
     """max(255,255)+1 in uint8 would wrap to 0 before the clamp; the merge
     must do its arithmetic wide enough to saturate instead."""

@@ -30,6 +30,7 @@ PARAM_STRATEGIES = {
     "pccm": st.fixed_dictionaries(
         {"l2sz": st.integers(4, 14), "nh": st.integers(1, 6), "nbits": st.integers(2, 8)}
     ),
+    "pmh": st.fixed_dictionaries({"m": st.integers(1, 512)}),
     "realccm": st.fixed_dictionaries(
         {"l2sz": st.integers(4, 14), "nh": st.integers(1, 6), "gamma": st.floats(0.5, 1.0)}
     ),

@@ -658,6 +658,61 @@ def q_hmh_card_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vac_levels_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACSketch (reference vac.h:20-57): 12-level geometric subsampling
+    stack over events.user_id, built distributed and levelwise-max merged.
+    Level 0 is always-inserted, i.e. a plain HLL over the full stream — its
+    estimate must sit inside the standard 3σ HLL bound of the exact
+    distinct count; deeper levels must decay monotonically within noise
+    (each level subsamples the previous by 2×)."""
+    ev = _t(spark, sf_dir, "events")
+    sk = build_sketches(
+        ev, [SketchSpec("v", "vac", "user_id", {"p": 12, "n_levels": 12, "seed": 137})]
+    )["v"]
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    est = sk.level_estimates()
+    level0_ok = abs(est[0] - exact) <= 3 * sk.relative_error() * exact + 1.0
+    decay_ok = all(est[i + 1] <= est[i] * 1.25 + 10.0 for i in range(len(est) - 1))
+    return spark.createDataFrame(
+        [
+            Row(
+                exact_users=int(exact),
+                level0_within_bound=bool(level0_ok),
+                levels_decay=bool(decay_ok),
+            )
+        ]
+    )
+
+
+def q_hlf_parts_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded-HLL ensemble (reference hlf_t, hll.h:1369-1616): one
+    distributed build over l_partkey answers membership AND cardinality.
+    Membership has NO false negatives by construction (each sub-HLL's
+    registers are a max-monoid over inserted ranks), so every present part
+    must be detected — an exact, deterministic count; cardinality uses the
+    pooled-register chunk_report within its 3σ bound."""
+    li = _t(spark, sf_dir, "lineitem")
+    sk = build_sketches(
+        li, [SketchSpec("f", "hlf", "l_partkey", {"p": 12, "l2ss": 3, "seed": 137})]
+    )["f"]
+    present = np.array(
+        [r["l_partkey"] for r in li.select("l_partkey").distinct().collect()],
+        dtype=np.int64,
+    )
+    n_detected = int(sk.may_contain(present).sum())
+    exact = len(present)
+    card_ok = abs(sk.chunk_report() - exact) <= 3 * sk.relative_error() * exact + 1.0
+    return spark.createDataFrame(
+        [
+            Row(
+                exact_parts=int(exact),
+                n_detected=int(n_detected),
+                card_within_bound=bool(card_ok),
+            )
+        ]
+    )
+
+
 def q_pmh_weighted_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P-MinHash weighted-set similarity (reference pmh.h:80-140, fixed to
     key draws on the feature as Moulton-Jiang arXiv:1809.04052 requires):
@@ -1115,6 +1170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kminhash_jaccard_parts": q_kminhash_jaccard_parts,
         "smh_jaccard_parts": q_smh_jaccard_parts,
         "hmh_card_jaccard_parts": q_hmh_card_jaccard_parts,
+        "vac_levels_users": q_vac_levels_users,
+        "hlf_parts_filter": q_hlf_parts_filter,
         "pmh_weighted_jaccard_parts": q_pmh_weighted_jaccard_parts,
         "lsh_neardup_docs": q_lsh_neardup_docs,
         "lsh_neardup_keep": q_lsh_neardup_keep,
@@ -1376,6 +1433,15 @@ def oracle_sql() -> dict[str, str]:
         "lsh_neardup_docs": (
             "SELECT CAST(count(*) AS BIGINT) AS n_exact_dup_pairs, TRUE AS lsh_recall_all "
             "FROM documents WHERE doc_id % 10 = 0"
+        ),
+        "vac_levels_users": (
+            "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, "
+            "TRUE AS level0_within_bound, TRUE AS levels_decay FROM events"
+        ),
+        "hlf_parts_filter": (
+            "SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts, "
+            "CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_detected, "
+            "TRUE AS card_within_bound FROM lineitem"
         ),
         "pmh_weighted_jaccard_parts": (
             """

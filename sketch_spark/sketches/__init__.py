@@ -4,7 +4,7 @@ from sketch_spark.sketches.base import Sketch, from_bytes, make_sketch, merge_al
 from sketch_spark.sketches.bbmh import BBitMinHash  # noqa: F401
 from sketch_spark.sketches.bloom import BloomFilter, optimal_nhashes  # noqa: F401
 from sketch_spark.sketches.cms import CountMinSketch, CountSketch, CountSketch4W  # noqa: F401
-from sketch_spark.sketches.hll import DoubleHLL, HyperLogLog  # noqa: F401
+from sketch_spark.sketches.hll import DoubleHLL, HyperLogFilter, HyperLogLog  # noqa: F401
 from sketch_spark.sketches.hmh import HyperMinHash  # noqa: F401
 from sketch_spark.sketches.kll import KLL  # noqa: F401
 from sketch_spark.sketches.minhash import (  # noqa: F401
@@ -17,4 +17,5 @@ from sketch_spark.sketches.mult import SampledMultiplicity  # noqa: F401
 from sketch_spark.sketches.pmh import PMinHash  # noqa: F401
 from sketch_spark.sketches.smh import SuperMinHash  # noqa: F401
 from sketch_spark.sketches.tdigest import TDigest  # noqa: F401
+from sketch_spark.sketches.vac import VACSketch  # noqa: F401
 from sketch_spark.sketches.topk import MisraGries  # noqa: F401

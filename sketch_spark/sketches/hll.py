@@ -26,7 +26,7 @@ from typing import Any
 
 import numpy as np
 
-from sketch_spark.hashing import CHUNK, clz64, hash_tokens
+from sketch_spark.hashing import CHUNK, clz64, hash_tokens, splitmix64
 from sketch_spark.sketches.base import Sketch, register
 
 _U64 = np.uint64
@@ -438,3 +438,124 @@ class DoubleHLL(HyperLogLog):
         obj.regs = arrays["regs"].astype(np.uint8)
         obj.dregs = arrays["dregs"].astype(np.uint8)
         return obj
+
+
+@register
+class HyperLogFilter(Sketch):
+    """Seeded-HLL ensemble — the reference's hlf_t over seedhll_t
+    (hll.h:1369-1616): 2^l2ss sub-HLLs, each inserting every element under
+    its own seed (element ^ seed_k → WangHash → sub-HLL k). One structure
+    answers BOTH approximate membership and cardinality:
+
+    * ``may_contain``: an element is possibly-present only if EVERY sub-HLL's
+      register at its (seeded) slot holds rank ≥ the element's rank
+      (hll.h:1508-1525) — ns independent weak filters AND-ed, so the false-
+      positive rate decays geometrically in the ensemble size.
+    * ``estimate``: mean of sub-estimates (report(), hll.h:1568-1586);
+      ``med_report`` = their median (hll.h:1588-1599); ``chunk_report`` =
+      strength borrowing — all ns·2^p registers pooled as ONE HLL of
+      precision p + l2ss, estimate divided by ns (hll.h:1601-1615), which
+      is the lowest-variance of the three.
+    * ``jaccard_index``: inclusion-exclusion on chunk_report of self/other/
+      union (hll.h:1559-1567).
+
+    Every sub-register-file is a max-monoid (reference merge `+=`
+    hll.h:1545-1552), so the ensemble is byte-identical under any
+    partitioning/merge order like plain HLL.
+    """
+
+    kind = "hlf"
+
+    def __init__(self, p: int = 12, l2ss: int = 3, seed: int = 137):
+        if not 4 <= p <= 24:
+            raise ValueError("p must be in [4, 24]")
+        if not 0 <= l2ss <= 8:
+            raise ValueError("l2ss must be in [0, 8]")
+        self.p = int(p)
+        self.l2ss = int(l2ss)
+        self.seed = int(seed)
+        self.ns = 1 << self.l2ss
+        # seeds_from_seed analog: one deterministic 64-bit seed per sub-HLL
+        self._seeds = splitmix64(self.seed, self.ns)
+        self.regs = np.zeros((self.ns, 1 << self.p), dtype=np.uint8)
+
+    # -- monoid ops ----------------------------------------------------------
+    def update(self, values: np.ndarray) -> "HyperLogFilter":
+        v = np.asarray(values)
+        for i in range(0, len(v), CHUNK):
+            chunk = v[i : i + CHUNK]
+            for k in range(self.ns):
+                idx, rank = _register_updates(hash_tokens(chunk, int(self._seeds[k])), self.p)
+                np.maximum.at(self.regs[k], idx, rank)
+        return self
+
+    def merge(self, other: "HyperLogFilter") -> "HyperLogFilter":
+        self._check_mergeable(other)
+        np.maximum(self.regs, other.regs, out=self.regs)
+        return self
+
+    # -- queries ---------------------------------------------------------------
+    def _sub_estimates(self) -> np.ndarray:
+        return np.array(
+            [
+                ertl_improved_estimate(
+                    np.bincount(self.regs[k], minlength=64 - self.p + 2), self.p
+                )
+                for k in range(self.ns)
+            ]
+        )
+
+    def estimate(self) -> float:
+        """Mean of sub-estimates — the reference's default report()."""
+        return float(self._sub_estimates().mean())
+
+    def med_report(self) -> float:
+        return float(np.median(self._sub_estimates()))
+
+    def chunk_report(self) -> float:
+        """Strength borrowing: pool all registers as one HLL of precision
+        p + l2ss and divide by ns (each element occupies ns slots)."""
+        counts = np.bincount(self.regs.ravel(), minlength=64 - self.p + 2)
+        return ertl_improved_estimate(counts, self.p + self.l2ss) / self.ns
+
+    def relative_error(self) -> float:
+        """Per the pooled-register view: 1.04/sqrt(ns·m)."""
+        return 1.03896 / math.sqrt(self.ns << self.p)
+
+    def may_contain(self, values: np.ndarray) -> np.ndarray:
+        v = np.asarray(values)
+        out = np.ones(len(v), dtype=bool)
+        for k in range(self.ns):
+            idx, rank = _register_updates(hash_tokens(v, int(self._seeds[k])), self.p)
+            out &= self.regs[k, idx] >= rank
+        return out
+
+    def union_size(self, other: "HyperLogFilter") -> float:
+        self._check_mergeable(other)
+        u = self.copy()
+        u.merge(other)
+        return u.chunk_report()
+
+    def jaccard_index(self, other: "HyperLogFilter") -> float:
+        """Inclusion-exclusion on chunk_report (hll.h:1559-1567)."""
+        uest = self.union_size(other)
+        if uest <= 0.0:
+            return 0.0
+        olap = self.chunk_report() + other.chunk_report() - uest
+        return max(0.0, min(1.0, olap / uest))
+
+    # -- state -----------------------------------------------------------------
+    def _params(self) -> dict[str, Any]:
+        return {"p": self.p, "l2ss": self.l2ss, "seed": self.seed}
+
+    def _arrays(self) -> dict[str, np.ndarray]:
+        return {"regs": self.regs}
+
+    @classmethod
+    def _from_state(cls, params, arrays) -> "HyperLogFilter":
+        obj = cls(**params)
+        obj.regs = arrays["regs"].astype(np.uint8).reshape(obj.ns, 1 << obj.p)
+        return obj
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"HyperLogFilter(p={self.p}, ns={self.ns}, est={self.estimate():.1f})"

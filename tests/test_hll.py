@@ -239,3 +239,64 @@ def test_dhll_may_contain_no_false_negatives():
     data = rng.integers(0, 2**40, 20_000, dtype=np.int64)
     d = DoubleHLL(p=12).update(data)
     assert bool(d.may_contain(data).all())
+
+
+# ---------------- seeded-HLL ensemble (reference hlf_t, hll.h:1369-1616) -----
+
+
+def test_hlf_three_estimators_within_bound():
+    from sketch_spark.sketches.hll import HyperLogFilter
+
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 2**40, 40_000, dtype=np.int64)
+    n = len(np.unique(data))
+    sk = HyperLogFilter(p=12, l2ss=3).update(data)
+    per_sub = 3 * 1.03896 / np.sqrt(1 << 12)
+    assert abs(sk.estimate() - n) <= per_sub * n        # mean can't beat a sub
+    assert abs(sk.med_report() - n) <= per_sub * n
+    # chunk_report pools ns*m registers: tighter bound
+    assert abs(sk.chunk_report() - n) <= 3 * sk.relative_error() * n + 1
+
+
+def test_hlf_may_contain_no_false_negatives_and_fp_decays():
+    """Membership: inserted elements are ALWAYS possibly-present (max-monoid
+    registers ≥ every inserted rank — deterministic); the AND over ns seeded
+    sub-filters drives false positives down as the ensemble grows."""
+    from sketch_spark.sketches.hll import HyperLogFilter
+
+    rng = np.random.default_rng(6)
+    data = rng.integers(0, 2**40, 2_000, dtype=np.int64)
+    probes = rng.integers(2**41, 2**42, 20_000, dtype=np.int64)
+    fp = {}
+    for l2ss in (0, 2, 3):
+        sk = HyperLogFilter(p=12, l2ss=l2ss).update(data)
+        assert bool(sk.may_contain(data).all())
+        fp[l2ss] = sk.may_contain(probes).mean()
+    assert fp[3] < fp[2] < fp[0]
+
+
+def test_hlf_merge_byte_identical_and_roundtrip():
+    from sketch_spark.sketches.base import from_bytes, merge_all
+    from sketch_spark.sketches.hll import HyperLogFilter
+
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 2**40, 30_000, dtype=np.int64)
+    single = HyperLogFilter(p=10, l2ss=2).update(data)
+    merged = merge_all(HyperLogFilter(p=10, l2ss=2).update(c) for c in np.array_split(data, 5))
+    assert merged.to_bytes() == single.to_bytes()
+    assert from_bytes(single.to_bytes()).to_bytes() == single.to_bytes()
+
+
+def test_hlf_jaccard_inclusion_exclusion():
+    from sketch_spark.sketches.hll import HyperLogFilter
+
+    a = HyperLogFilter(p=12, l2ss=3).update(np.arange(30_000, dtype=np.int64))
+    b = HyperLogFilter(p=12, l2ss=3).update(np.arange(15_000, 45_000, dtype=np.int64))
+    assert abs(a.jaccard_index(b) - 1 / 3) <= 0.05
+
+
+def test_hlf_param_mismatch_raises():
+    from sketch_spark.sketches.hll import HyperLogFilter
+
+    with pytest.raises(ValueError):
+        HyperLogFilter(p=10, l2ss=2).merge(HyperLogFilter(p=10, l2ss=3))

@@ -28,6 +28,8 @@ EXACT_KINDS = [
     ("smh", {"m": 128}),
     ("dhll", {"p": 10}),
     ("modsketch", {"m": 64}),
+    ("hlf", {"p": 8, "l2ss": 2}),
+    ("pmh", {"m": 128}),
     ("hmh", {"p": 8, "r": 8}),
 ]
 

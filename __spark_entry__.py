@@ -658,6 +658,48 @@ def q_hmh_card_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cbf_orders_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counting Bloom stack (reference cbfbase_t, cbf.h:33-110): log-scale
+    per-item counts via Bloom-membership Morris counters, built distributed
+    over 8 partitions and OR-merged. Membership (bf[0]) has no false
+    negatives — every present custkey must be detected, an exact count —
+    and the top-5 key estimates must sit in the derived envelope
+    exact/(16·P) ≤ est ≤ exact·16 (the reference estimator centers ~n/4;
+    OR-merge has no tie increment, so splits run low by up to factor P)."""
+    n_parts = 8
+    orders = _t(spark, sf_dir, "orders").repartition(n_parts)
+    sk = build_sketches(
+        orders,
+        [SketchSpec("c", "cbf", "o_custkey", {"l2sz": 17, "n_levels": 14, "nh": 4})],
+    )["c"]
+    present = np.array(
+        [r["o_custkey"] for r in orders.select("o_custkey").distinct().collect()],
+        dtype=np.int64,
+    )
+    n_detected = int(sk.may_contain(present).sum())
+    top = (
+        orders.groupBy("o_custkey").count()
+        .orderBy(F.desc("count"), F.asc("o_custkey"))
+        .limit(5)
+        .collect()
+    )
+    keys = np.array([r["o_custkey"] for r in top], dtype=np.int64)
+    ests = sk.est_count(keys)
+    env_ok = all(
+        r["count"] / (16.0 * n_parts) <= ests[i] <= r["count"] * 16.0
+        for i, r in enumerate(top)
+    )
+    return spark.createDataFrame(
+        [
+            Row(
+                exact_custkeys=int(len(present)),
+                n_detected=int(n_detected),
+                top5_within_env=bool(env_ok),
+            )
+        ]
+    )
+
+
 def q_vac_levels_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VACSketch (reference vac.h:20-57): 12-level geometric subsampling
     stack over events.user_id, built distributed and levelwise-max merged.
@@ -1170,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kminhash_jaccard_parts": q_kminhash_jaccard_parts,
         "smh_jaccard_parts": q_smh_jaccard_parts,
         "hmh_card_jaccard_parts": q_hmh_card_jaccard_parts,
+        "cbf_orders_counts": q_cbf_orders_counts,
         "vac_levels_users": q_vac_levels_users,
         "hlf_parts_filter": q_hlf_parts_filter,
         "pmh_weighted_jaccard_parts": q_pmh_weighted_jaccard_parts,
@@ -1433,6 +1476,11 @@ def oracle_sql() -> dict[str, str]:
         "lsh_neardup_docs": (
             "SELECT CAST(count(*) AS BIGINT) AS n_exact_dup_pairs, TRUE AS lsh_recall_all "
             "FROM documents WHERE doc_id % 10 = 0"
+        ),
+        "cbf_orders_counts": (
+            "SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys, "
+            "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_detected, "
+            "TRUE AS top5_within_env FROM orders"
         ),
         "vac_levels_users": (
             "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, "

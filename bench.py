@@ -200,6 +200,11 @@ def main() -> None:
     qrows = emb.where(F.col("vec_id") < 8).collect()
     qvecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qids = np.array([r["vec_id"] for r in qrows])
+    # warm the mapInArrow plan/worker path once: the first run pays ~3 s of
+    # Python-worker + plan setup that the r1→r2 "regression" turned out to be
+    # (measured 3.47 s cold vs 0.43-0.58 s steady-state at sf0.1); the timed
+    # run below reports steady-state like the other warmed queries
+    brute_force_topk(emb, qvecs, qids, k=10).collect()
     with timed("cosine_topk"):
         brute_force_topk(emb, qvecs, qids, k=10).collect()
 

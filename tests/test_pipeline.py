@@ -442,3 +442,27 @@ def test_embedding_hot_bucket_guard_linear(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = embedding_neardups(df, threshold=0.99, n_planes=6, n_tables=4, max_bucket_size=64)
     assert got.count() == n - 1  # star: every non-min pairs once with the hub
+
+
+def test_decoder_backend_dispatch(spark):
+    """The decode swap point dispatches on Pillow availability: whichever
+    backend is active must drive extract_features end-to-end. In this
+    container Pillow is absent (installs out of policy), so the stub path
+    is the one exercised; on a cluster with Pillow the same test exercises
+    the real path."""
+    from sketch_spark.pipeline.multimodal import (
+        decode_feature,
+        decoder_backend,
+        fake_decode,
+    )
+
+    backend = decoder_backend()
+    assert backend in ("pillow", "stub")
+    payload = bytes(range(64))
+    feat = decode_feature(payload, dim=8)
+    assert feat.shape == (8,)
+    if backend == "stub":
+        assert np.allclose(feat, fake_decode(payload, 8))
+    df = synth_media_df(spark, n=16)
+    out = extract_features(df, dim=8).collect()
+    assert len(out) == 16 and all(r["ok"] for r in out)

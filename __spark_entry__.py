@@ -186,6 +186,32 @@ def q_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows).orderBy("q")
 
 
+def q_ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch (published algorithm; the reference's dd.h quantile path
+    throws): α-RELATIVE-VALUE-error quantiles — each estimate must sit
+    within 2α of the exact quantile VALUE (tolerance doubled for nearest-
+    rank vs interpolated definitions), a stronger pointwise claim than the
+    KLL/t-digest rank-ε rows. Exact quantiles via Spark's exact percentile."""
+    li = _t(spark, sf_dir, "lineitem")
+    alpha = 0.01
+    sk = build_sketches(
+        li, [SketchSpec("d", "ddsketch", "l_extendedprice", {"alpha": alpha})]
+    )["d"]
+    exact = li.select(
+        F.expr(f"percentile(l_extendedprice, array({','.join(str(q) for q in _QS)}))")
+    ).first()[0]
+    rows = [
+        Row(
+            q=float(q),
+            within_rel_alpha=bool(
+                abs(sk.quantile(q) - float(exact[i])) <= 2 * alpha * abs(float(exact[i])) + 1e-9
+            ),
+        )
+        for i, q in enumerate(_QS)
+    ]
+    return spark.createDataFrame(rows).orderBy("q")
+
+
 def q_tdigest_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     sk = build_sketches(ev, [SketchSpec("t", "tdigest", "value", {"delta": 200.0})])["t"]
@@ -1190,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_top_parts": q_cms_top_parts,
         "bloom_orders_membership": q_bloom_orders_membership,
         "kll_price_quantiles": q_kll_price_quantiles,
+        "ddsketch_price_quantiles": q_ddsketch_price_quantiles,
         "tdigest_event_values": q_tdigest_event_values,
         "minhash_jaccard_sources": q_minhash_jaccard_sources,
         "topk_parts_mg": q_topk_parts_mg,
@@ -1255,6 +1282,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kll_price_quantiles": (
             f"SELECT CAST(q AS DOUBLE) AS q, within_rank_eps FROM (VALUES {qs_rows}) AS t(q, within_rank_eps) ORDER BY q"
+        ),
+        "ddsketch_price_quantiles": (
+            f"SELECT CAST(q AS DOUBLE) AS q, within_rel_alpha FROM (VALUES {qs_rows}) AS t(q, within_rel_alpha) ORDER BY q"
         ),
         "tdigest_event_values": (
             f"SELECT CAST(q AS DOUBLE) AS q, within_rank_eps FROM (VALUES {qs_rows}) AS t(q, within_rank_eps) ORDER BY q"

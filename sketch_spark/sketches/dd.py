@@ -1,0 +1,175 @@
+"""DDSketch: relative-error quantiles with bin-wise-mergeable state.
+
+The reference's dd.h:32-194 is unfinished (its quantile path literally
+throws, dd.h:137 — which is why KLL/t-digest carried the quantile contract
+in earlier rounds); this is a from-scratch implementation of the published
+algorithm (Masson, Lee, Lung: "DDSketch: A Fast and Fully-Mergeable
+Quantile Sketch with Relative-Error Guarantees", VLDB 2019):
+
+  * bucket i holds values with ceil(log_γ x) = i, γ = (1+α)/(1−α), so any
+    value in bucket i is within relative error α of the bucket midpoint
+    2γ^i/(γ+1) — the quantile answer is α-relatively-accurate at ANY q
+    (vs KLL/t-digest's rank-error guarantee).
+  * three stores: positive buckets, negative buckets (mirrored), zero
+    count — full real line.
+  * merge = bin-wise add (the paper's "fully mergeable") — exact, so the
+    sketch is byte-identical under any partitioning/merge order as long as
+    no collapse triggers. The collapsing store bounds memory at `maxbins`
+    per store by folding the LOWEST buckets into the lowest retained one
+    (tail toward zero), after which the guarantee holds for quantiles
+    above the collapsed region (paper §2.3). Collapse is canonicalized
+    after every update/merge; with the default α=0.01 / maxbins=2048 a
+    store spans > 10^17 of dynamic range before collapsing, so in practice
+    states stay collapse-free and exactly mergeable (the KLL-style
+    "estimates parity under collapse, byte parity without" contract).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import numpy as np
+
+from sketch_spark.sketches.base import Sketch, register
+
+
+def _compact(keys: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sort by key and sum duplicate buckets."""
+    if len(keys) == 0:
+        return keys.astype(np.int64), counts.astype(np.int64)
+    uk, inv = np.unique(keys, return_inverse=True)
+    uc = np.bincount(inv, weights=counts.astype(np.float64), minlength=len(uk))
+    return uk.astype(np.int64), uc.astype(np.int64)
+
+
+@register
+class DDSketch(Sketch):
+    kind = "ddsketch"
+
+    def __init__(self, alpha: float = 0.01, maxbins: int = 2048):
+        if not 0.0 < alpha < 1.0:
+            raise ValueError("alpha must be in (0, 1)")
+        if maxbins < 8:
+            raise ValueError("maxbins must be >= 8")
+        self.alpha = float(alpha)
+        self.maxbins = int(maxbins)
+        self.gamma = (1.0 + self.alpha) / (1.0 - self.alpha)
+        self._lg = math.log(self.gamma)
+        self.pos_keys = np.zeros(0, dtype=np.int64)
+        self.pos_counts = np.zeros(0, dtype=np.int64)
+        self.neg_keys = np.zeros(0, dtype=np.int64)
+        self.neg_counts = np.zeros(0, dtype=np.int64)
+        self.zero_count = 0
+
+    # ---- state ------------------------------------------------------------
+    def _params(self) -> dict[str, Any]:
+        return {"alpha": self.alpha, "maxbins": self.maxbins}
+
+    def _arrays(self) -> dict[str, np.ndarray]:
+        return {
+            "pos_keys": self.pos_keys,
+            "pos_counts": self.pos_counts,
+            "neg_keys": self.neg_keys,
+            "neg_counts": self.neg_counts,
+            "zero": np.array([self.zero_count], dtype=np.int64),
+        }
+
+    @classmethod
+    def _from_state(cls, params, arrays):
+        obj = cls(**params)
+        obj.pos_keys = arrays["pos_keys"].astype(np.int64)
+        obj.pos_counts = arrays["pos_counts"].astype(np.int64)
+        obj.neg_keys = arrays["neg_keys"].astype(np.int64)
+        obj.neg_counts = arrays["neg_counts"].astype(np.int64)
+        obj.zero_count = int(arrays["zero"][0])
+        return obj
+
+    # ---- store maintenance --------------------------------------------------
+    def _collapse(self) -> None:
+        """Canonical form: at most maxbins buckets per store; excess LOWEST
+        buckets fold into the lowest retained bucket (paper §2.3)."""
+        for attr in ("pos", "neg"):
+            keys = getattr(self, f"{attr}_keys")
+            counts = getattr(self, f"{attr}_counts")
+            if len(keys) > self.maxbins:
+                cut = len(keys) - self.maxbins
+                folded = counts[: cut + 1].sum()
+                keys = keys[cut:].copy()
+                counts = counts[cut:].copy()
+                counts[0] = folded
+                setattr(self, f"{attr}_keys", keys)
+                setattr(self, f"{attr}_counts", counts)
+
+    def _absorb(self, attr: str, keys: np.ndarray, counts: np.ndarray) -> None:
+        old_k = getattr(self, f"{attr}_keys")
+        old_c = getattr(self, f"{attr}_counts")
+        k, c = _compact(np.concatenate([old_k, keys]), np.concatenate([old_c, counts]))
+        setattr(self, f"{attr}_keys", k)
+        setattr(self, f"{attr}_counts", c)
+
+    # ---- monoid ops ----------------------------------------------------------
+    def update(self, values: np.ndarray) -> "DDSketch":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[np.isfinite(v)]
+        if len(v) == 0:
+            return self
+        self.zero_count += int((v == 0.0).sum())
+        pos = v[v > 0]
+        if len(pos):
+            k = np.ceil(np.log(pos) / self._lg).astype(np.int64)
+            self._absorb("pos", *_compact(k, np.ones(len(k), dtype=np.int64)))
+        neg = -v[v < 0]
+        if len(neg):
+            k = np.ceil(np.log(neg) / self._lg).astype(np.int64)
+            self._absorb("neg", *_compact(k, np.ones(len(k), dtype=np.int64)))
+        self._collapse()
+        return self
+
+    def merge(self, other: "DDSketch") -> "DDSketch":
+        self._check_mergeable(other)
+        self._absorb("pos", other.pos_keys, other.pos_counts)
+        self._absorb("neg", other.neg_keys, other.neg_counts)
+        self.zero_count += other.zero_count
+        self._collapse()
+        return self
+
+    # ---- queries --------------------------------------------------------------
+    def _bucket_value(self, key: np.ndarray) -> np.ndarray:
+        """Bucket midpoint 2γ^k/(γ+1) — within α of every member."""
+        return 2.0 * np.power(self.gamma, key.astype(np.float64)) / (self.gamma + 1.0)
+
+    def total(self) -> int:
+        return int(self.pos_counts.sum() + self.neg_counts.sum() + self.zero_count)
+
+    def quantile(self, q: float) -> float:
+        n = self.total()
+        if n == 0:
+            return float("nan")
+        if not 0.0 <= q <= 1.0:
+            raise ValueError("q must be in [0, 1]")
+        rank = q * (n - 1)
+        # ascending: negatives from most-negative (largest neg key) → zero →
+        # positives from smallest key
+        cum = 0.0
+        if len(self.neg_keys):
+            vals = -self._bucket_value(self.neg_keys[::-1])
+            cnts = self.neg_counts[::-1]
+            cs = np.cumsum(cnts)
+            i = np.searchsorted(cs, rank + 1.0, side="left")
+            if i < len(cs):
+                return float(vals[i])
+            cum = float(cs[-1])
+        if self.zero_count and rank < cum + self.zero_count:
+            return 0.0
+        cum += self.zero_count
+        cs = cum + np.cumsum(self.pos_counts)
+        i = np.searchsorted(cs, rank + 1.0, side="left")
+        i = min(i, len(cs) - 1)
+        return float(self._bucket_value(self.pos_keys[i : i + 1])[0])
+
+    def quantiles(self, qs) -> np.ndarray:
+        return np.array([self.quantile(q) for q in qs])
+
+    def relative_error(self) -> float:
+        return self.alpha

@@ -66,7 +66,7 @@ class SketchSpec:
 
     @property
     def is_quantile(self) -> bool:
-        return self.kind in ("kll", "tdigest")
+        return self.kind in ("kll", "tdigest", "ddsketch")
 
 
 def _extract_from_array(arr, want_float: bool) -> np.ndarray:

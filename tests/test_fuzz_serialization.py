@@ -33,6 +33,9 @@ PARAM_STRATEGIES = {
     "pmh": st.fixed_dictionaries({"m": st.integers(1, 512)}),
     "hlf": st.fixed_dictionaries({"p": st.integers(4, 12), "l2ss": st.integers(0, 4)}),
     "vac": st.fixed_dictionaries({"p": st.integers(4, 12), "n_levels": st.integers(2, 20)}),
+    "ddsketch": st.fixed_dictionaries(
+        {"alpha": st.floats(0.005, 0.1), "maxbins": st.integers(8, 2048)}
+    ),
     "cbf": st.fixed_dictionaries(
         {"l2sz": st.integers(10, 16), "n_levels": st.integers(2, 12), "nh": st.integers(1, 4)}
     ),

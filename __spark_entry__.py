@@ -832,6 +832,49 @@ def q_pmh_weighted_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_icws_weighted_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICWS weighted Jaccard (reference bbmh.h:775-832, fixed to key draws
+    on the feature as Ioffe ICDM'10 requires): same tf-weighted part sets
+    as the pmh gate, estimating Σmin/Σmax — value-checked against the exact
+    quotient computed identically in Spark and the DuckDB oracle, estimate
+    within 4σ."""
+    from sketch_spark.spark.agg import build_weighted_sketch
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 2000)
+    wa = (
+        li.where(F.col("l_orderkey") % 2 == 0)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("w"))
+    )
+    wb = (
+        li.where(F.col("l_orderkey") % 2 == 1)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("w"))
+    )
+    m = 1024
+    sa = build_weighted_sketch(wa, "icws", "l_partkey", "w", {"m": m, "seed": 42})
+    sb = build_weighted_sketch(wb, "icws", "l_partkey", "w", {"m": m, "seed": 42})
+    est = sa.jaccard(sb)
+    t = (
+        wa.select(F.col("l_partkey").alias("k"), F.col("w").alias("xa"))
+        .join(
+            wb.select(F.col("l_partkey").alias("k"), F.col("w").alias("xb")),
+            "k",
+            "full",
+        )
+        .fillna(0.0, subset=["xa", "xb"])
+    )
+    sums = t.select(
+        F.sum(F.least("xa", "xb")).alias("smin"), F.sum(F.greatest("xa", "xb")).alias("smax")
+    ).first()
+    exact_jw = float(sums["smin"]) / float(sums["smax"]) if sums["smax"] else 0.0
+    sigma = float(np.sqrt(max(exact_jw * (1 - exact_jw), 1e-12) / m))
+    ok = abs(est - exact_jw) <= 4 * sigma
+    return spark.createDataFrame(
+        [Row(exact_jw=float(round(exact_jw, 6)), within_tol=bool(ok))]
+    )
+
+
 def q_lsh_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup recall gate: plant one exact copy of every 10th
     document (and one near-copy of every 10th+5 doc for realism), run the
@@ -1243,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vac_levels_users": q_vac_levels_users,
         "hlf_parts_filter": q_hlf_parts_filter,
         "pmh_weighted_jaccard_parts": q_pmh_weighted_jaccard_parts,
+        "icws_weighted_jaccard_parts": q_icws_weighted_jaccard_parts,
         "lsh_neardup_docs": q_lsh_neardup_docs,
         "lsh_neardup_keep": q_lsh_neardup_keep,
         "threshold_distinct_users": q_threshold_distinct_users,
@@ -1533,6 +1577,19 @@ def oracle_sql() -> dict[str, str]:
                        FROM t i CROSS JOIN t kk WHERE i.xa > 0 AND i.xb > 0 GROUP BY i.k)
             SELECT CAST(ROUND(SUM(1.0 / denom), 6) AS DOUBLE) AS exact_jp, TRUE AS within_tol
             FROM d
+            """
+        ),
+        "icws_weighted_jaccard_parts": (
+            """
+            WITH a AS (SELECT l_partkey k, SUM(l_quantity) w FROM lineitem
+                       WHERE l_orderkey % 2 = 0 AND l_partkey < 2000 GROUP BY 1),
+                 b AS (SELECT l_partkey k, SUM(l_quantity) w FROM lineitem
+                       WHERE l_orderkey % 2 = 1 AND l_partkey < 2000 GROUP BY 1),
+                 t AS (SELECT COALESCE(a.k, b.k) k, COALESCE(a.w, 0) xa, COALESCE(b.w, 0) xb
+                       FROM a FULL JOIN b ON a.k = b.k)
+            SELECT CAST(ROUND(SUM(LEAST(xa, xb)) / SUM(GREATEST(xa, xb)), 6) AS DOUBLE)
+                     AS exact_jw, TRUE AS within_tol
+            FROM t
             """
         ),
         "lsh_neardup_keep": (

@@ -8,6 +8,7 @@ from sketch_spark.sketches.cms import CountMinSketch, CountSketch, CountSketch4W
 from sketch_spark.sketches.dd import DDSketch  # noqa: F401
 from sketch_spark.sketches.hll import DoubleHLL, HyperLogFilter, HyperLogLog  # noqa: F401
 from sketch_spark.sketches.hmh import HyperMinHash  # noqa: F401
+from sketch_spark.sketches.icws import ICWS  # noqa: F401
 from sketch_spark.sketches.kll import KLL  # noqa: F401
 from sketch_spark.sketches.minhash import (  # noqa: F401
     BottomKMinHash,

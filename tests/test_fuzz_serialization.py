@@ -31,6 +31,7 @@ PARAM_STRATEGIES = {
         {"l2sz": st.integers(4, 14), "nh": st.integers(1, 6), "nbits": st.integers(2, 8)}
     ),
     "pmh": st.fixed_dictionaries({"m": st.integers(1, 512)}),
+    "icws": st.fixed_dictionaries({"m": st.integers(1, 512)}),
     "hlf": st.fixed_dictionaries({"p": st.integers(4, 12), "l2ss": st.integers(0, 4)}),
     "vac": st.fixed_dictionaries({"p": st.integers(4, 12), "n_levels": st.integers(2, 20)}),
     "ddsketch": st.fixed_dictionaries(

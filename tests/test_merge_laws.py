@@ -30,6 +30,7 @@ EXACT_KINDS = [
     ("modsketch", {"m": 64}),
     ("hlf", {"p": 8, "l2ss": 2}),
     ("pmh", {"m": 128}),
+    ("icws", {"m": 128}),
     ("hmh", {"p": 8, "r": 8}),
 ]
 

@@ -726,6 +726,35 @@ def q_cbf_orders_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pcbf_users_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pcbf (reference cbf.h:115-201): Bloom+HLL pairs per level — the
+    level-0 HLL must estimate the exact distinct-user count within its 3σ
+    bound (every item reaches level 0), and bf[0] membership must detect
+    every present user exactly (no false negatives)."""
+    ev = _t(spark, sf_dir, "events").repartition(8)
+    sk = build_sketches(
+        ev,
+        [SketchSpec("p", "pcbf", "user_id", {"l2sz": 17, "n_levels": 12, "hllp": 13})],
+    )["p"]
+    present = np.array(
+        [r["user_id"] for r in ev.select("user_id").distinct().collect()], dtype=np.int64
+    )
+    exact = len(present)
+    n_detected = int(sk.may_contain(present).sum())
+    lvl0 = sk.level_cardinalities()[0]
+    bound = 3.0 * 1.03896 / np.sqrt(1 << 13)
+    ok = abs(lvl0 - exact) <= bound * exact + 1.0
+    return spark.createDataFrame(
+        [
+            Row(
+                exact_users=int(exact),
+                n_detected=int(n_detected),
+                level0_within_bound=bool(ok),
+            )
+        ]
+    )
+
+
 def q_vac_levels_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VACSketch (reference vac.h:20-57): 12-level geometric subsampling
     stack over events.user_id, built distributed and levelwise-max merged.
@@ -1283,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smh_jaccard_parts": q_smh_jaccard_parts,
         "hmh_card_jaccard_parts": q_hmh_card_jaccard_parts,
         "cbf_orders_counts": q_cbf_orders_counts,
+        "pcbf_users_depth": q_pcbf_users_depth,
         "vac_levels_users": q_vac_levels_users,
         "hlf_parts_filter": q_hlf_parts_filter,
         "pmh_weighted_jaccard_parts": q_pmh_weighted_jaccard_parts,
@@ -1555,6 +1585,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys, "
             "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_detected, "
             "TRUE AS top5_within_env FROM orders"
+        ),
+        "pcbf_users_depth": (
+            "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_detected, "
+            "TRUE AS level0_within_bound FROM events"
         ),
         "vac_levels_users": (
             "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, "

@@ -3,7 +3,7 @@
 from sketch_spark.sketches.base import Sketch, from_bytes, make_sketch, merge_all  # noqa: F401
 from sketch_spark.sketches.bbmh import BBitMinHash  # noqa: F401
 from sketch_spark.sketches.bloom import BloomFilter, optimal_nhashes  # noqa: F401
-from sketch_spark.sketches.cbf import CountingBloomStack  # noqa: F401
+from sketch_spark.sketches.cbf import CountingBloomStack, ProbabilisticCountingBloom  # noqa: F401
 from sketch_spark.sketches.cms import CountMinSketch, CountSketch, CountSketch4W  # noqa: F401
 from sketch_spark.sketches.dd import DDSketch  # noqa: F401
 from sketch_spark.sketches.hll import DoubleHLL, HyperLogFilter, HyperLogLog  # noqa: F401

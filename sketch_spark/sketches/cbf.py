@@ -103,16 +103,23 @@ class CountingBloomStack(Sketch):
             z = wanghash(z)
         return (z.astype(np.float64) + 0.5) * (2.0**-64)
 
+    # ---- level hooks (pcbf overrides both) -----------------------------------
+    def _level_contains(self, lvl: int, vals: np.ndarray) -> np.ndarray:
+        return self.levels[lvl].may_contain(vals)
+
+    def _insert_level(self, lvl: int, vals: np.ndarray) -> None:
+        self.levels[lvl].update(vals.view(np.int64))
+
     # ---- monoid ops --------------------------------------------------------
     def _depths(self, vals: np.ndarray) -> np.ndarray:
         """Consecutive containing levels from 0 (0 = absent from bf[0])."""
         depth = np.zeros(len(vals), dtype=np.int64)
         alive = np.ones(len(vals), dtype=bool)
-        for i, bf in enumerate(self.levels):
+        for i in range(self.n_levels):
             if not alive.any():
                 break
             hit = np.zeros(len(vals), dtype=bool)
-            hit[alive] = bf.may_contain(vals[alive])
+            hit[alive] = self._level_contains(i, vals[alive])
             depth[alive & hit] = i + 1
             alive &= hit
         return depth
@@ -137,7 +144,7 @@ class CountingBloomStack(Sketch):
         # first-ever hit inserts into bf[0] deterministically (cbf.h:59-61)
         fresh = (depth == 0) & (hits > 0)
         if fresh.any():
-            self.levels[0].update(uniq[fresh].view(np.int64))
+            self._insert_level(0, uniq[fresh])
             depth[fresh] = 1
             hits[fresh] -= 1
         rem = hits
@@ -155,7 +162,7 @@ class CountingBloomStack(Sketch):
             if promote.any():
                 for lvl in np.unique(depth[promote]):
                     sel = promote & (depth == lvl)
-                    self.levels[int(lvl)].update(uniq[sel].view(np.int64))
+                    self._insert_level(int(lvl), uniq[sel])
             rem = np.where(promote, rem - g, 0.0)
             depth[promote] += 1
             rnd += 1
@@ -177,3 +184,80 @@ class CountingBloomStack(Sketch):
         """2^(deepest containing level − 1); 0 when absent (cbf.h:80-85)."""
         d = self._depths(np.asarray(values).astype(np.int64).view(np.uint64))
         return np.where(d > 0, np.exp2((d - 1).astype(np.float64)), 0.0)
+
+
+@register
+class ProbabilisticCountingBloom(CountingBloomStack):
+    """pcbf_t (reference cbf.h:115-201): the cbf stack with a seeded HLL
+    paired to each Bloom level. Level membership is the AND of the pair
+    (bf.may_contain AND hll.may_contain, cbf.h:167/175 — the HLL register
+    acts as a second, differently-seeded weak filter, cutting the stack's
+    false-positive-driven depth inflation), promotions insert into BOTH,
+    and each level's HLL additionally reports HOW MANY distinct items
+    reached that depth — the per-level cardinality curve the plain cbf
+    cannot answer ("provides cardinality estimates for the number of
+    elements reaching each stage", cbf.h:116-117).
+
+    Merge: levelwise Bloom OR + levelwise HLL register max. Same
+    guarantee-level envelope and counter-based draw determinism as cbf.
+    """
+
+    kind = "pcbf"
+
+    def __init__(
+        self,
+        l2sz: int = 16,
+        n_levels: int = 12,
+        nh: int = 4,
+        seed: int = 1337,
+        shrink: bool = True,
+        hllp: int = 10,
+    ):
+        super().__init__(l2sz=l2sz, n_levels=n_levels, nh=nh, seed=seed, shrink=shrink)
+        if not 4 <= hllp <= 18:
+            raise ValueError("hllp must be in [4, 18]")
+        self.hllp = int(hllp)
+        hseeds = splitmix64(self.seed ^ 0x5EEDFACE, self.n_levels)
+        from sketch_spark.sketches.hll import HyperLogLog
+
+        self.hlls = [
+            HyperLogLog(p=self.hllp, seed=int(hseeds[i])) for i in range(self.n_levels)
+        ]
+
+    def _params(self) -> dict[str, Any]:
+        out = super()._params()
+        out["hllp"] = self.hllp
+        return out
+
+    def _arrays(self) -> dict[str, np.ndarray]:
+        out = super()._arrays()
+        for i, h in enumerate(self.hlls):
+            out[f"h{i}"] = h.regs
+        return out
+
+    @classmethod
+    def _from_state(cls, params, arrays):
+        obj = super()._from_state(params, arrays)
+        for i, h in enumerate(obj.hlls):
+            h.regs = arrays[f"h{i}"].astype(np.uint8)
+        return obj
+
+    def _level_contains(self, lvl: int, vals: np.ndarray) -> np.ndarray:
+        return self.levels[lvl].may_contain(vals) & self.hlls[lvl].may_contain(
+            vals.view(np.int64)
+        )
+
+    def _insert_level(self, lvl: int, vals: np.ndarray) -> None:
+        super()._insert_level(lvl, vals)
+        self.hlls[lvl].update(vals.view(np.int64))
+
+    def merge(self, other: "ProbabilisticCountingBloom") -> "ProbabilisticCountingBloom":
+        super().merge(other)
+        for a, b in zip(self.hlls, other.hlls):
+            np.maximum(a.regs, b.regs, out=a.regs)
+        return self
+
+    def level_cardinalities(self) -> np.ndarray:
+        """Distinct items that reached each depth (per-level HLL estimates)
+        — ≈ #items with count ≳ 2^i at level i (the multiplicity curve)."""
+        return np.array([h.estimate() for h in self.hlls])

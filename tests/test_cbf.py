@@ -80,3 +80,39 @@ def test_shrinking_level_sizes():
     sk = CountingBloomStack(l2sz=16, n_levels=8, shrink=True)
     sizes = [bf.l2sz for bf in sk.levels]
     assert sizes == [16, 15, 14, 13, 12, 11, 10, 10]
+
+
+# ---------------- pcbf: cbf + per-level HLL pairs (cbf.h:115-201) -----------
+
+
+def test_pcbf_level_cardinalities_separate_heavy_from_light():
+    from sketch_spark.sketches.cbf import ProbabilisticCountingBloom
+
+    heavy = np.repeat(np.arange(50, dtype=np.int64), 2_000)
+    light = np.arange(1_000, 6_000, dtype=np.int64)
+    sk = ProbabilisticCountingBloom(l2sz=14, n_levels=12, hllp=12).update(
+        np.concatenate([heavy, light])
+    )
+    cards = sk.level_cardinalities()
+    assert abs(cards[0] - 5_050) <= 0.05 * 5_050      # every distinct item
+    assert abs(cards[4] - 50) <= 15                    # only the heavy ones deep
+    assert bool(sk.may_contain(light).all())
+
+
+def test_pcbf_merge_and_roundtrip():
+    from sketch_spark.sketches.base import from_bytes, merge_all
+    from sketch_spark.sketches.cbf import ProbabilisticCountingBloom
+
+    n, P = 6_000, 6
+    parts = [
+        ProbabilisticCountingBloom(l2sz=12, n_levels=10, hllp=10, seed=5).update(
+            np.full(n // P + 97 * i, 7, dtype=np.int64)
+        )
+        for i in range(P)
+    ]
+    m = merge_all(parts)
+    est = m.est_count(np.array([7]))[0]
+    assert n / (16.0 * P) <= est <= n * 16.0
+    assert from_bytes(m.to_bytes()).to_bytes() == m.to_bytes()
+    with pytest.raises(ValueError):
+        m.merge(ProbabilisticCountingBloom(l2sz=12, n_levels=10, hllp=11, seed=5))

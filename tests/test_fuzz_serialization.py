@@ -40,6 +40,9 @@ PARAM_STRATEGIES = {
     "cbf": st.fixed_dictionaries(
         {"l2sz": st.integers(10, 16), "n_levels": st.integers(2, 12), "nh": st.integers(1, 4)}
     ),
+    "pcbf": st.fixed_dictionaries(
+        {"l2sz": st.integers(10, 16), "n_levels": st.integers(2, 10), "nh": st.integers(1, 4), "hllp": st.integers(6, 12)}
+    ),
     "realccm": st.fixed_dictionaries(
         {"l2sz": st.integers(4, 14), "nh": st.integers(1, 6), "gamma": st.floats(0.5, 1.0)}
     ),

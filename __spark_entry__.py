@@ -973,6 +973,50 @@ def q_lsh_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id").orderBy("doc_id")
 
 
+def q_ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard on candidate pairs (the verify stage of the
+    LSH pipeline) — VALUE-exact against the identical set algebra computed
+    in DuckDB (distinct 3-grams, |∩|/|∪|), pair (i, i+5) for every 10th
+    doc."""
+    from sketch_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 5).alias("id_b")
+    )
+    out = ngram_jaccard_pairs(docs, pairs, n=3)
+    return out.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    ).orderBy("id_a")
+
+
+def q_simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup recall gate: plant one exact copy of every 10th
+    document; identical text ⇒ identical 64-bit SimHash ⇒ same bucket, so
+    every planted pair must be recovered — deterministic, like the
+    MinHash-LSH twin above. The star guard is active (max_bucket_size=64),
+    so recovery also proves hub connectivity under the guard."""
+    from sketch_spark.pipeline.dedup import simhash_neardups
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dup)
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardups(corpus).select("id_a", "id_b").collect()
+    }
+    planted = [int(r["doc_id"]) for r in docs.where(F.col("doc_id") % 10 == 0).collect()]
+    # pairs may surface directly or through a star hub — accept either side
+    recall_all = all(
+        (i, i + 1_000_000) in found or (i + 1_000_000, i) in found for i in planted
+    )
+    return spark.createDataFrame(
+        [Row(n_exact_dup_pairs=len(planted), simhash_recall_all=bool(recall_all))]
+    )
+
+
 def q_threshold_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FilterHLL capability (reference filterhll.h:11-113): distinct users
     with ≥ 10 events, via repartition-co-located CMS-gated HLL insertion —
@@ -1319,6 +1363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icws_weighted_jaccard_parts": q_icws_weighted_jaccard_parts,
         "lsh_neardup_docs": q_lsh_neardup_docs,
         "lsh_neardup_keep": q_lsh_neardup_keep,
+        "simhash_neardup_docs": q_simhash_neardup_docs,
+        "ngram_jaccard_pairs_docs": q_ngram_jaccard_pairs_docs,
         "threshold_distinct_users": q_threshold_distinct_users,
         "streaming_windowed_daily_hll": q_streaming_windowed_daily_hll,
         "pccm_heavy_parts": q_pccm_heavy_parts,
@@ -1631,6 +1677,30 @@ def oracle_sql() -> dict[str, str]:
             # chain resolution: each planted 4-doc chain collapses to its
             # base (min id); bases are every 10th doc_id by construction
             "SELECT doc_id FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id"
+        ),
+        "simhash_neardup_docs": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_exact_dup_pairs, TRUE AS simhash_recall_all "
+            "FROM documents WHERE doc_id % 10 = 0"
+        ),
+        "ngram_jaccard_pairs_docs": (
+            r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                                                  i -> array_to_string(t[i+1:i+3], ' '))) AS g
+              FROM toks
+            ),
+            pairs AS (SELECT doc_id AS id_a, doc_id + 5 AS id_b FROM documents WHERE doc_id % 10 = 0)
+            SELECT p.id_a, p.id_b,
+                   CAST(ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+                              len(list_distinct(a.g || b.g)), 6) AS DOUBLE) AS jaccard
+            FROM pairs p JOIN grams a ON a.doc_id = p.id_a JOIN grams b ON b.doc_id = p.id_b
+            ORDER BY p.id_a
+            """
         ),
         "threshold_distinct_users": (
             "SELECT CAST(count(*) AS BIGINT) AS exact_heavy_users, TRUE AS within_bound "

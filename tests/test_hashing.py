@@ -50,6 +50,25 @@ def test_clz64_exact_for_all_magnitudes():
     np.testing.assert_array_equal(got, want)
 
 
+def test_clz64_exact_at_every_float_roundup_boundary():
+    """The float-exponent fast path must stay exact where uint64→float64
+    rounds UP to the next power of two (exponent overshoot): every 2^k
+    neighborhood, the 53-bit mantissa edges, and 20k random values checked
+    against the pure-Python bit_length oracle."""
+    vals = []
+    for k in range(64):
+        for d in (-2, -1, 0, 1, 2):
+            v = (1 << k) + d
+            if 0 <= v < 2**64:
+                vals.append(v)
+    for k in (53, 54, 62, 63):
+        vals += [(1 << k) - 1, (1 << k) | ((1 << 11) - 1), 2**64 - 1, 2**64 - 2**10]
+    vals += [int(x) for x in RNG.integers(0, 2**64, 20_000, dtype=np.uint64)]
+    batch = np.array(vals, dtype=np.uint64)
+    want = np.array([64 if v == 0 else 64 - int(v).bit_length() for v in vals], dtype=np.uint8)
+    np.testing.assert_array_equal(clz64(batch), want)
+
+
 def test_splitmix64_deterministic_and_distinct():
     a = splitmix64(1234, 64)
     b = splitmix64(1234, 64)

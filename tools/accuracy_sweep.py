@@ -20,7 +20,9 @@ import numpy as np
 
 from sketch_spark.sketches.bbmh import BBitMinHash
 from sketch_spark.sketches.hll import HyperLogLog
+from sketch_spark.sketches.icws import ICWS
 from sketch_spark.sketches.minhash import BottomKMinHash
+from sketch_spark.sketches.pmh import PMinHash
 from sketch_spark.sketches.smh import SuperMinHash
 
 TRUE_JI = 1.0 / 3.0
@@ -64,6 +66,16 @@ def sweep(trials: int, n: int):
             f"smh m={m}": (
                 lambda s, m=m: (SuperMinHash(m=m), SuperMinHash(m=m)),
                 lambda a, b: a.jaccard_index(b),
+            ),
+            # round 3: the weighted samplers at unit weights, where both
+            # J_P (pmh) and Σmin/Σmax (icws) reduce to the classic Jaccard
+            f"pmh m={m}": (
+                lambda s, m=m: (PMinHash(m=m), PMinHash(m=m)),
+                lambda a, b: a.jaccard(b),
+            ),
+            f"icws m={m}": (
+                lambda s, m=m: (ICWS(m=m), ICWS(m=m)),
+                lambda a, b: a.jaccard(b),
             ),
         }
         for name, (make_pair, score) in fams.items():

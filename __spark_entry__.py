@@ -904,6 +904,47 @@ def q_icws_weighted_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_ws_weighted_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WeightedSketcher Σmin/Σmax between the word multisets of the two
+    lexicographically-first documents sources (reference wj::WeightedSketcher,
+    mult.h:345-420): per-(source, word) counts are pre-aggregated in Spark
+    (so every word lives in exactly one row — the value-partitioning that
+    makes the distributed merge byte-identical), then expanded to
+    (word, occurrence) pairs through the WangPairHasher (mult.h:335-342)
+    into a bottom-k minhash sized above the total word mass — unsaturated
+    ⇒ the weighted Jaccard is exact and equals the SQL Σ least/Σ greatest
+    (cmtest.cpp:26-33 exact-algebra pattern)."""
+    from sketch_spark.spark.agg import build_weighted_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    srcs = sorted(r[0] for r in docs.select("source").distinct().collect())[:2]
+    wc = (
+        docs.where(F.col("source").isin(srcs))
+        .select(
+            "source",
+            F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = {
+        r["source"]: int(r["t"])
+        for r in wc.groupBy("source").agg(F.sum("c").alias("t")).collect()
+    }
+    spec = {
+        "base_kind": "minhash",
+        "base_params": {"k": max(totals.values()) + 1},  # capacity above the data ⇒ exact
+        "l2sz": 20,
+        "seed": 7,
+    }
+    sa = build_weighted_sketch(wc.where(F.col("source") == srcs[0]), "ws", "w", "c", spec)
+    sb = build_weighted_sketch(wc.where(F.col("source") == srcs[1]), "ws", "w", "c", spec)
+    wj = sa.weighted_jaccard(sb)
+    return spark.createDataFrame(
+        [Row(source_a=srcs[0], source_b=srcs[1], weighted_jaccard6=float(round(wj, 6)))]
+    )
+
+
 def q_lsh_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup recall gate: plant one exact copy of every 10th
     document (and one near-copy of every 10th+5 doc for realism), run the
@@ -1361,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hlf_parts_filter": q_hlf_parts_filter,
         "pmh_weighted_jaccard_parts": q_pmh_weighted_jaccard_parts,
         "icws_weighted_jaccard_parts": q_icws_weighted_jaccard_parts,
+        "ws_weighted_jaccard_sources": q_ws_weighted_jaccard_sources,
         "lsh_neardup_docs": q_lsh_neardup_docs,
         "lsh_neardup_keep": q_lsh_neardup_keep,
         "simhash_neardup_docs": q_simhash_neardup_docs,
@@ -1671,6 +1713,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(ROUND(SUM(LEAST(xa, xb)) / SUM(GREATEST(xa, xb)), 6) AS DOUBLE)
                      AS exact_jw, TRUE AS within_tol
             FROM t
+            """
+        ),
+        "ws_weighted_jaccard_sources": (
+            r"""
+            WITH srcs AS (
+              SELECT source FROM documents GROUP BY source ORDER BY source LIMIT 2
+            ), tok AS (
+              SELECT d.source, u.w, CAST(count(*) AS BIGINT) AS c
+              FROM documents d,
+                   unnest(list_filter(string_split_regex(d.text, '\s+'), x -> x <> '')) AS u(w)
+              WHERE d.source IN (SELECT source FROM srcs)
+              GROUP BY d.source, u.w
+            ), a AS (
+              SELECT w, c FROM tok WHERE source = (SELECT min(source) FROM srcs)
+            ), b AS (
+              SELECT w, c FROM tok WHERE source = (SELECT max(source) FROM srcs)
+            ), joined AS (
+              SELECT coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+              FROM a FULL OUTER JOIN b ON a.w = b.w
+            )
+            SELECT (SELECT min(source) FROM srcs) AS source_a,
+                   (SELECT max(source) FROM srcs) AS source_b,
+                   round(CAST(sum(least(ca, cb)) AS DOUBLE) / sum(greatest(ca, cb)), 6) AS weighted_jaccard6
+            FROM joined
             """
         ),
         "lsh_neardup_keep": (

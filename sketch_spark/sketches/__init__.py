@@ -22,3 +22,4 @@ from sketch_spark.sketches.smh import SuperMinHash  # noqa: F401
 from sketch_spark.sketches.tdigest import TDigest  # noqa: F401
 from sketch_spark.sketches.vac import VACSketch  # noqa: F401
 from sketch_spark.sketches.topk import MisraGries  # noqa: F401
+from sketch_spark.sketches.ws import WeightedSketcher  # noqa: F401

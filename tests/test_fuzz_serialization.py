@@ -46,6 +46,14 @@ PARAM_STRATEGIES = {
     "realccm": st.fixed_dictionaries(
         {"l2sz": st.integers(4, 14), "nh": st.integers(1, 6), "gamma": st.floats(0.5, 1.0)}
     ),
+    "ws": st.fixed_dictionaries(
+        {
+            "base_kind": st.sampled_from(["minhash", "bbmh", "smh"]),
+            "base_params": st.just({}),
+            "l2sz": st.integers(10, 16),
+            "nh": st.integers(1, 4),
+        }
+    ),
 }
 
 

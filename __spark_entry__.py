@@ -684,6 +684,58 @@ def q_hmh_card_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_divbbmh_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-power-of-2-bucket b-bit MinHash (reference DivBBitMinHasher,
+    bbmh.h:705-774 — mod/div bucketing) over the filtered l_partkey
+    ranges: an ODD bucket count (4999) exercises the division path, same
+    envelope as the bbmh gate (bbmhtest.cpp:149-165 JI ± 0.05)."""
+    a, b, n_inter, n_union = _partkey_range_sets(spark, sf_dir)
+    spec = {"nbuckets": 4999, "b": 16}
+    sa = build_sketches(a, [SketchSpec("s", "divbbmh", "l_partkey", spec)])["s"]
+    sb = build_sketches(b, [SketchSpec("s", "divbbmh", "l_partkey", spec)])["s"]
+    est = sa.jaccard_index(sb)
+    exact = n_inter / n_union if n_union else 0.0
+    return spark.createDataFrame(
+        [
+            Row(
+                n_intersect=n_inter,
+                n_union=n_union,
+                within_tol=bool(abs(est - exact) <= 0.05),
+            )
+        ]
+    )
+
+
+def q_phll_card_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phll packed 4-bit HLL (reference phll_t, bbmh.h:136-230; quantizer +
+    MLE estimator re-derived — the reference's own estimation is unfinished,
+    bbmh.h:1086 TODO): cardinality AND inclusion-exclusion Jaccard from one
+    sketch pair over the filtered l_partkey ranges, m/2-byte wire states."""
+    a, b, n_inter, n_union = _partkey_range_sets(spark, sf_dir)
+    spec = {"p": 12}
+    sa = build_sketches(a, [SketchSpec("s", "phll", "l_partkey", spec)])["s"]
+    sb = build_sketches(b, [SketchSpec("s", "phll", "l_partkey", spec)])["s"]
+    exact_a = a.select(F.countDistinct("l_partkey")).first()[0]
+    exact_b = b.select(F.countDistinct("l_partkey")).first()[0]
+    bound = 4.0 * sa.relative_error()
+    card_ok = (
+        abs(sa.estimate() - exact_a) <= bound * exact_a + 2.0
+        and abs(sb.estimate() - exact_b) <= bound * exact_b + 2.0
+    )
+    exact_j = n_inter / n_union if n_union else 0.0
+    j_ok = abs(sa.jaccard_index(sb) - exact_j) <= 0.05
+    return spark.createDataFrame(
+        [
+            Row(
+                n_intersect=n_inter,
+                n_union=n_union,
+                card_within_bound=bool(card_ok),
+                jaccard_within_tol=bool(j_ok),
+            )
+        ]
+    )
+
+
 def q_cbf_orders_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counting Bloom stack (reference cbfbase_t, cbf.h:33-110): log-scale
     per-item counts via Bloom-membership Morris counters, built distributed
@@ -1396,6 +1448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kminhash_jaccard_parts": q_kminhash_jaccard_parts,
         "smh_jaccard_parts": q_smh_jaccard_parts,
         "hmh_card_jaccard_parts": q_hmh_card_jaccard_parts,
+        "phll_card_jaccard_parts": q_phll_card_jaccard_parts,
+        "divbbmh_jaccard_parts": q_divbbmh_jaccard_parts,
         "cbf_orders_counts": q_cbf_orders_counts,
         "pcbf_users_depth": q_pcbf_users_depth,
         "vac_levels_users": q_vac_levels_users,
@@ -1647,6 +1701,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS BIGINT) AS n_union, "
             "TRUE AS within_tol"
         ),
+        "divbbmh_jaccard_parts": (
+            "SELECT CAST((SELECT count(DISTINCT l_partkey) FROM lineitem "
+            "             WHERE l_partkey >= 700 AND l_partkey < 1400) AS BIGINT) AS n_intersect, "
+            "CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS BIGINT) AS n_union, "
+            "TRUE AS within_tol"
+        ),
         "kminhash_jaccard_parts": (
             "SELECT CAST((SELECT count(DISTINCT l_partkey) FROM lineitem "
             "             WHERE l_partkey >= 700 AND l_partkey < 1400) AS BIGINT) AS n_intersect, "
@@ -1660,6 +1720,12 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS within_tol"
         ),
         "hmh_card_jaccard_parts": (
+            "SELECT CAST((SELECT count(DISTINCT l_partkey) FROM lineitem "
+            "             WHERE l_partkey >= 700 AND l_partkey < 1400) AS BIGINT) AS n_intersect, "
+            "CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS BIGINT) AS n_union, "
+            "TRUE AS card_within_bound, TRUE AS jaccard_within_tol"
+        ),
+        "phll_card_jaccard_parts": (
             "SELECT CAST((SELECT count(DISTINCT l_partkey) FROM lineitem "
             "             WHERE l_partkey >= 700 AND l_partkey < 1400) AS BIGINT) AS n_intersect, "
             "CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS BIGINT) AS n_union, "

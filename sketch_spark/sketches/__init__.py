@@ -1,7 +1,7 @@
 """Sketch kernels: pure NumPy, Spark-agnostic, mergeable monoids."""
 
 from sketch_spark.sketches.base import Sketch, from_bytes, make_sketch, merge_all  # noqa: F401
-from sketch_spark.sketches.bbmh import BBitMinHash  # noqa: F401
+from sketch_spark.sketches.bbmh import BBitMinHash, DivBBitMinHash  # noqa: F401
 from sketch_spark.sketches.bloom import BloomFilter, optimal_nhashes  # noqa: F401
 from sketch_spark.sketches.cbf import CountingBloomStack, ProbabilisticCountingBloom  # noqa: F401
 from sketch_spark.sketches.cms import CountMinSketch, CountSketch, CountSketch4W  # noqa: F401
@@ -17,6 +17,7 @@ from sketch_spark.sketches.minhash import (  # noqa: F401
     ModSampledSet,
 )
 from sketch_spark.sketches.mult import SampledMultiplicity  # noqa: F401
+from sketch_spark.sketches.phll import PackedHLL  # noqa: F401
 from sketch_spark.sketches.pmh import PMinHash  # noqa: F401
 from sketch_spark.sketches.smh import SuperMinHash  # noqa: F401
 from sketch_spark.sketches.tdigest import TDigest  # noqa: F401

@@ -104,7 +104,9 @@ class BBitMinHash(Sketch):
             import math
 
             return -self.m * math.log(n_empty / self.m)
-        num = float(1 << (64 - self.p))
+        # per-bucket value range: 2^(64-p) here, 2^64/nbuckets in the Div
+        # subclass (exactly equal for power-of-2 m)
+        num = 2.0**64 / self.m
         s = float((self.vals.astype(np.float64) / num).sum())
         return (self.m * self.m) / s if s else 0.0
 
@@ -151,3 +153,51 @@ class BBitMinHash(Sketch):
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"BBitMinHash(p={self.p}, b={self.b}, filled={(self.vals != _EMPTY).sum()})"
+
+
+@register
+class DivBBitMinHash(BBitMinHash):
+    """b-bit minhash with an ARBITRARY bucket count (reference
+    DivBBitMinHasher, bbmh.h:705-774): bucket = hash mod nbuckets, value =
+    hash div nbuckets, min-monoid per bucket — lets the register count
+    match a memory budget exactly instead of rounding to a power of two.
+
+    The reference reaches for Schismatic fastmod (div.h:83-141) because
+    scalar C++ division is slow; NumPy's vectorized ``%``/``//`` are
+    already one multiply-class op per element, so plain operators here.
+    Divergences: (1) the reference silently rounds nbuckets up to a
+    multiple of 64 for its SIMD compare blocks (bbmh.h:714-721 — its
+    ctor warning admits it); we honor the requested count exactly.
+    (2) its merge story is finalize-then-compare only; the live core is
+    the same elementwise-min monoid as BBitMinHash, so we inherit the
+    byte-identical partition merge. Estimation (harmonic + linear-count
+    below fill), optimal densification, and the Li-König b-bit collision
+    correction are shared with the parent — the quotient's low b bits
+    stay ~uniform while 2^64/nbuckets ≫ 2^b, which the b bound enforces."""
+
+    kind = "divbbmh"
+
+    def __init__(self, nbuckets: int = 1000, b: int = 16, seed: int = 0):
+        if not 16 <= nbuckets <= (1 << 26):
+            raise ValueError("nbuckets must be in [16, 2^26]")
+        # keep ≥ 8 spare uniform bits above the compared b bits
+        max_b = 64 - int(np.ceil(np.log2(nbuckets))) - 8
+        if not 1 <= b <= max_b:
+            raise ValueError(f"b must be in [1, {max_b}] for nbuckets={nbuckets}")
+        self.b = int(b)
+        self.seed = int(seed)
+        self.m = int(nbuckets)
+        self.p = 0  # unused; bucketing is mod-based
+        self.vals = np.full(self.m, _EMPTY, dtype=np.uint64)
+
+    def update(self, values: np.ndarray) -> "DivBBitMinHash":
+        if len(values) == 0:
+            return self
+        hashed = hash_tokens(values, self.seed)
+        nb = _U64(self.m)
+        idx = (hashed % nb).astype(np.int64)
+        np.minimum.at(self.vals, idx, hashed // nb)
+        return self
+
+    def _params(self) -> dict[str, Any]:
+        return {"nbuckets": self.m, "b": self.b, "seed": self.seed}

@@ -80,3 +80,62 @@ def test_empty_vs_empty_jaccard_zero():
     assert a.jaccard_index(b) == 0.0
     c = BBitMinHash(p=8).update(np.arange(1000, dtype=np.int64))
     assert a.jaccard_index(c) == 0.0
+
+
+# ---- DivBBitMinHash (reference DivBBitMinHasher, bbmh.h:705-774) ----------
+
+
+def test_div_cardinality_at_odd_bucket_counts():
+    from sketch_spark.sketches.bbmh import DivBBitMinHash
+
+    for nb in (777, 1000, 4099):
+        for n in (300, 30_000, 300_000):
+            vals = RNG.integers(0, 2**62, n, dtype=np.int64)
+            exact = len(np.unique(vals))
+            est = DivBBitMinHash(nbuckets=nb).update(vals).cardinality_estimate()
+            # harmonic/linear-count envelope ~1/sqrt(nb), generous 5σ
+            assert abs(est - exact) <= 5 * exact / np.sqrt(nb) + 3, (nb, n)
+
+
+def test_div_jaccard_with_collision_correction():
+    from sketch_spark.sketches.bbmh import DivBBitMinHash
+
+    a = np.arange(0, 40_000, dtype=np.int64)
+    b = np.arange(20_000, 60_000, dtype=np.int64)
+    sa = DivBBitMinHash(nbuckets=3000, b=16).update(a)
+    sb = DivBBitMinHash(nbuckets=3000, b=16).update(b)
+    assert sa.jaccard_index(sb) == pytest.approx(1 / 3, abs=0.05)
+    assert sa.jaccard_index(sa) == pytest.approx(1.0)
+
+
+def test_div_merge_partition_byte_identity():
+    from sketch_spark.sketches.bbmh import DivBBitMinHash
+    from sketch_spark.sketches.base import merge_all
+
+    vals = RNG.integers(0, 2**62, 50_000, dtype=np.int64)
+    single = DivBBitMinHash(nbuckets=777).update(vals)
+    parts = [DivBBitMinHash(nbuckets=777).update(c) for c in np.array_split(vals, 6)]
+    RNG.shuffle(parts)
+    assert merge_all(parts).to_bytes() == single.to_bytes()
+
+
+def test_div_exact_bucket_count_honored():
+    """The reference rounds nbuckets up to a multiple of 64 (bbmh.h:714-721);
+    we honor the requested count (documented divergence)."""
+    from sketch_spark.sketches.bbmh import DivBBitMinHash
+
+    sk = DivBBitMinHash(nbuckets=777)
+    assert len(sk.vals) == 777
+
+
+def test_div_param_validation_and_type_guard():
+    from sketch_spark.sketches.bbmh import DivBBitMinHash
+
+    with pytest.raises(ValueError):
+        DivBBitMinHash(nbuckets=8)
+    with pytest.raises(ValueError):
+        DivBBitMinHash(nbuckets=1 << 20, b=40)  # not enough uniform quotient bits
+    with pytest.raises(ValueError):
+        DivBBitMinHash(nbuckets=1000).merge(DivBBitMinHash(nbuckets=1001))
+    with pytest.raises(ValueError):  # different kind entirely
+        DivBBitMinHash(nbuckets=1024).merge(BBitMinHash(p=10))

@@ -23,6 +23,9 @@ PARAM_STRATEGIES = {
     "topk": st.fixed_dictionaries({"m": st.integers(1, 512)}),
     "multiplicity": st.fixed_dictionaries({"r": st.integers(0, 12)}),
     "bbmh": st.fixed_dictionaries({"p": st.integers(4, 12), "b": st.integers(1, 16)}),
+    "divbbmh": st.fixed_dictionaries(
+        {"nbuckets": st.integers(16, 4096), "b": st.integers(1, 16)}
+    ),
     "smh": st.fixed_dictionaries({"m": st.integers(16, 512)}),
     "hmh": st.fixed_dictionaries({"p": st.integers(4, 12), "r": st.integers(2, 14)}),
     "dhll": st.fixed_dictionaries({"p": st.integers(4, 14)}),
@@ -30,6 +33,7 @@ PARAM_STRATEGIES = {
     "pccm": st.fixed_dictionaries(
         {"l2sz": st.integers(4, 14), "nh": st.integers(1, 6), "nbits": st.integers(2, 8)}
     ),
+    "phll": st.fixed_dictionaries({"p": st.integers(4, 14)}),
     "pmh": st.fixed_dictionaries({"m": st.integers(1, 512)}),
     "icws": st.fixed_dictionaries({"m": st.integers(1, 512)}),
     "hlf": st.fixed_dictionaries({"p": st.integers(4, 12), "l2ss": st.integers(0, 4)}),

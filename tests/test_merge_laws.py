@@ -24,11 +24,13 @@ EXACT_KINDS = [
     ("counting_minhash", {"k": 256}),
     ("multiplicity", {"r": 4}),
     ("bbmh", {"p": 8, "b": 16}),
+    ("divbbmh", {"nbuckets": 1000, "b": 16}),
     ("kminhash", {"k": 128}),
     ("smh", {"m": 128}),
     ("dhll", {"p": 10}),
     ("modsketch", {"m": 64}),
     ("hlf", {"p": 8, "l2ss": 2}),
+    ("phll", {"p": 10}),
     ("pmh", {"m": 128}),
     ("icws", {"m": 128}),
     ("hmh", {"p": 8, "r": 8}),

@@ -22,6 +22,7 @@ from sketch_spark.sketches.bbmh import BBitMinHash
 from sketch_spark.sketches.hll import HyperLogLog
 from sketch_spark.sketches.icws import ICWS
 from sketch_spark.sketches.minhash import BottomKMinHash
+from sketch_spark.sketches.phll import PackedHLL
 from sketch_spark.sketches.pmh import PMinHash
 from sketch_spark.sketches.smh import SuperMinHash
 
@@ -76,6 +77,12 @@ def sweep(trials: int, n: int):
             f"icws m={m}": (
                 lambda s, m=m: (ICWS(m=m), ICWS(m=m)),
                 lambda a, b: a.jaccard(b),
+            ),
+            # round 3: phll at the same register count (4-bit registers ⇒
+            # m/2 bytes of state, the smallest footprint in the table)
+            f"phll m={m}": (
+                lambda s, m=m: (PackedHLL(p=int(np.log2(m))), PackedHLL(p=int(np.log2(m)))),
+                lambda a, b: a.jaccard_index(b),
             ),
         }
         for name, (make_pair, score) in fams.items():

@@ -466,3 +466,80 @@ def test_decoder_backend_dispatch(spark):
     df = synth_media_df(spark, n=16)
     out = extract_features(df, dim=8).collect()
     assert len(out) == 16 and all(r["ok"] for r in out)
+
+
+def test_wav_decode_real_roundtrip():
+    """The audio path is REAL in this container (stdlib wave): a synthesized
+    16-bit sine WAV must decode to the exact sample count/rate, RMS
+    amp/sqrt(2), zcr 2f/sr, and put all band energy at the tone's band."""
+    from sketch_spark.pipeline.multimodal import audio_features, synth_wav_bytes, wav_decode
+
+    sr, secs = 8000, 0.25
+    b = synth_wav_bytes(1200.0, sr=sr, seconds=secs, amp=0.5)
+    x, got_sr = wav_decode(b)
+    assert got_sr == sr and len(x) == int(sr * secs)
+    f = audio_features(x, got_sr, n_bands=8)
+    assert f["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=0.01)
+    assert f["zcr"] == pytest.approx(2 * 1200 / sr, rel=0.05)
+    # 1200 Hz → band floor(1200 / (nyquist/8)) = floor(1200/500) = 2
+    assert int(np.argmax(f["band_energy"])) == 2
+    assert sum(f["band_energy"]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_wav_decode_downmix_and_8bit():
+    from sketch_spark.pipeline.multimodal import wav_decode
+    import io
+    import wave
+
+    # stereo 16-bit: L = +0.25, R = -0.25 constant → downmix ≈ 0
+    pcm = np.empty(200, dtype=np.int16)
+    pcm[0::2] = int(0.25 * 32767)
+    pcm[1::2] = -int(0.25 * 32767)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    x, sr = wav_decode(buf.getvalue())
+    assert sr == 16000 and len(x) == 100
+    assert np.allclose(x, 0.0, atol=1e-4)
+    # 8-bit unsigned silence at the 128 midpoint → all zeros
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([128] * 64))
+    x, _ = wav_decode(buf.getvalue())
+    assert np.allclose(x, 0.0)
+
+
+def test_extract_audio_features_mixed_backends(spark):
+    """One DataFrame mixing real WAV payloads and opaque bytes: WAV rows
+    must come back backend='wave' with true sample counts, non-WAV rows
+    fall back to the stub with the same schema."""
+    from sketch_spark.pipeline.multimodal import (
+        AUDIO_SCHEMA,
+        extract_audio_features,
+        synth_wav_bytes,
+    )
+
+    rows = []
+    for i in range(4):
+        rows.append((i, bytearray(synth_wav_bytes(400.0 * (i + 1), sr=8000)), "audio/wav", 0, 0, 8000))
+    rows.append((99, bytearray(b"not a wav at all" * 8), "application/octet-stream", 0, 0, 0))
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, mime string, width int, height int, sample_rate int"
+    )
+    out = {r["media_id"]: r for r in extract_audio_features(df, n_bands=8).collect()}
+    assert len(out) == 5
+    for i in range(4):
+        r = out[i]
+        assert r["backend"] == "wave"
+        assert r["n_samples"] == 2000 and r["sample_rate"] == 8000
+        assert r["duration"] == pytest.approx(0.25)
+        # tone at 400(i+1) Hz → band floor(freq/500)
+        assert int(np.argmax(r["band_energy"])) == int(400 * (i + 1) // 500)
+    assert out[99]["backend"] == "stub"
+    assert len(out[99]["band_energy"]) == 8

@@ -684,6 +684,28 @@ def q_hmh_card_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_csvec_user_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RNLA CountSketch vector compression (reference cs_compress /
+    cs_decompress, rnla.h:35-54, 176-196): the per-user event-count vector
+    is compressed distributively (partials ADD — linearity is the merge),
+    then EVERY user's count is recovered by median-of-rows decompression
+    and must sit within the CountSketch bound 3·sqrt(F2/d_out) of the
+    exact count (mctest.cpp:55-76 envelope pattern). Top-k recovery from
+    the dense domain is pytest-covered with planted heavy coordinates
+    (the events distribution is deliberately flat, so a set-equality gate
+    would be tie-ridden)."""
+    ev = _t(spark, sf_dir, "events")
+    d_out = 8192
+    sk = build_sketches(ev, [SketchSpec("v", "csvec", "user_id", {"d_out": d_out, "ns": 5})])["v"]
+    cnts = ev.groupBy("user_id").count().collect()
+    keys = np.array([r["user_id"] for r in cnts], dtype=np.int64)
+    exact = np.array([r["count"] for r in cnts], dtype=np.float64)
+    bound = max(3.0 * float(np.sqrt((exact**2).sum() / d_out)), 1.0)
+    est = sk.decompress(keys)
+    ok = bool(np.all(np.abs(est - exact) <= bound))
+    return spark.createDataFrame([Row(n_users=int(len(keys)), all_within_bound=ok)])
+
+
 def q_divbbmh_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-power-of-2-bucket b-bit MinHash (reference DivBBitMinHasher,
     bbmh.h:705-774 — mod/div bucketing) over the filtered l_partkey
@@ -1450,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hmh_card_jaccard_parts": q_hmh_card_jaccard_parts,
         "phll_card_jaccard_parts": q_phll_card_jaccard_parts,
         "divbbmh_jaccard_parts": q_divbbmh_jaccard_parts,
+        "csvec_user_recovery": q_csvec_user_recovery,
         "cbf_orders_counts": q_cbf_orders_counts,
         "pcbf_users_depth": q_pcbf_users_depth,
         "vac_levels_users": q_vac_levels_users,
@@ -1706,6 +1729,10 @@ def oracle_sql() -> dict[str, str]:
             "             WHERE l_partkey >= 700 AND l_partkey < 1400) AS BIGINT) AS n_intersect, "
             "CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS BIGINT) AS n_union, "
             "TRUE AS within_tol"
+        ),
+        "csvec_user_recovery": (
+            "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+            "TRUE AS all_within_bound FROM events"
         ),
         "kminhash_jaccard_parts": (
             "SELECT CAST((SELECT count(DISTINCT l_partkey) FROM lineitem "

@@ -234,3 +234,58 @@ def ann_topk(
     )
     cand = df.join(cand_ids, id_col)
     return brute_force_topk(cand, qm, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def cs_projection_matrix(d_in: int, d_out: int, ns: int = 1, seed: int = 137) -> np.ndarray:
+    """Dense (d_in, ns·d_out) CountSketch matrix: block j holds one ±1
+    entry per input dimension at column bucket_j(i) (cs_compress applied
+    to a dense vector, rnla.h:35-54 — identical bucket/sign derivation to
+    the `csvec` sketch, so compressed-domain results match it exactly).
+    Scaled by 1/sqrt(ns): concatenating ns independent blocks then taking
+    the plain dot product averages the per-block unbiased estimates, so
+    E[<Cx, Cy>] = <x, y> with variance shrunk by ns."""
+    from sketch_spark.sketches.rnla import CSVector
+
+    t = CSVector(d_out=d_out, ns=ns, seed=seed)
+    s = np.zeros((d_in, ns * d_out), dtype=np.float32)
+    idx = np.arange(d_in, dtype=np.uint64)
+    rows = np.arange(d_in)
+    for j in range(ns):
+        bucket, sign = t._bucket_sign(idx, j)
+        s[rows, j * d_out + bucket] = sign / np.sqrt(ns)
+    return s
+
+
+def compress_embeddings(
+    df: DataFrame,
+    d_out: int = 16,
+    ns: int = 1,
+    seed: int = 137,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """CountSketch-compress an embedding column from d to ns·d_out dims
+    (one BLAS matmul per Arrow batch; no per-row Python). Dot products —
+    hence cosines after renormalization — are preserved in expectation
+    with variance ~(‖x‖²‖y‖² + <x,y>²)/(ns·d_out), so every downstream
+    operator (brute_force_topk, ann_topk, lsh bucketing) runs unchanged
+    on the compressed column with d/(ns·d_out)× less scan+shuffle width —
+    the 100 TB knob: compress once, then every similarity pass is cheaper.
+    """
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        s = None
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            m = _batch_matrix(batch.column(batch.schema.get_field_index(vec_col)))
+            if m.shape[0] == 0:
+                continue
+            if s is None:
+                s = cs_projection_matrix(m.shape[1], d_out, ns, seed)
+            comp = m.astype(np.float32) @ s
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(list(comp), type=pa.list_(pa.float32()))],
+                names=[id_col, vec_col],
+            )
+
+    return df.mapInArrow(run, f"{id_col} long, {vec_col} array<float>")

@@ -33,6 +33,7 @@ PARAM_STRATEGIES = {
     "pccm": st.fixed_dictionaries(
         {"l2sz": st.integers(4, 14), "nh": st.integers(1, 6), "nbits": st.integers(2, 8)}
     ),
+    "csvec": st.fixed_dictionaries({"d_out": st.integers(2, 4096), "ns": st.integers(1, 8)}),
     "phll": st.fixed_dictionaries({"p": st.integers(4, 14)}),
     "pmh": st.fixed_dictionaries({"m": st.integers(1, 512)}),
     "icws": st.fixed_dictionaries({"m": st.integers(1, 512)}),

@@ -543,3 +543,50 @@ def test_extract_audio_features_mixed_backends(spark):
         assert int(np.argmax(r["band_energy"])) == int(400 * (i + 1) // 500)
     assert out[99]["backend"] == "stub"
     assert len(out[99]["band_energy"]) == 8
+
+
+def test_compress_embeddings_preserves_cosine_and_top1(spark, emb_df):
+    """CountSketch embedding compression (rnla.h cs_compress on dense
+    rows): 64 → 32 dims must keep pairwise cosines within the JL-style
+    noise envelope and keep each vector its own top-1 under the UNCHANGED
+    brute-force operator running on the compressed column."""
+    from sketch_spark.pipeline.similarity import (
+        brute_force_topk,
+        compress_embeddings,
+        cs_projection_matrix,
+    )
+
+    comp_df = compress_embeddings(emb_df, d_out=16, ns=2, seed=7)
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in comp_df.limit(200).collect()}
+    orig = {r["vec_id"]: np.array(r["embedding"]) for r in emb_df.limit(200).collect()}
+    ids = sorted(set(rows) & set(orig))[:40]
+    # compressed dimension is ns*d_out
+    assert all(len(rows[i]) == 32 for i in ids)
+
+    def cos(u, v):
+        return float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v) + 1e-30))
+
+    errs = [
+        abs(cos(rows[a], rows[b]) - cos(orig[a], orig[b]))
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 : ai + 4]
+    ]
+    # var ~ 2/(ns*d_out) per pair → sd ~ 0.25; mean abs err well under that
+    assert np.mean(errs) < 0.25 and np.max(errs) < 0.8
+
+    # transform equals the csvec sketch's own hashing (shared derivation)
+    s = cs_projection_matrix(4, 8, ns=1, seed=3)
+    from sketch_spark.sketches.rnla import CSVector
+
+    t = CSVector(d_out=8, ns=1, seed=3)
+    x = np.array([1.0, -2.0, 3.0, 0.5])
+    manual = np.zeros(8)
+    b, sg = t._bucket_sign(np.arange(4, dtype=np.uint64), 0)
+    np.add.at(manual, b, sg * x)
+    assert np.allclose(x @ s, manual)
+
+    # self-recall on the compressed column through the unchanged operator
+    qids = np.array(ids[:5])
+    qvecs = np.stack([rows[i] for i in qids])
+    got = brute_force_topk(comp_df, qvecs, qids, k=1).collect()
+    assert {(r["query_id"], r["vec_id"]) for r in got} == {(int(i), int(i)) for i in qids}

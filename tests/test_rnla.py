@@ -1,0 +1,100 @@
+"""CSVector (reference rnla.h:35-243): CountSketch vector compression —
+linear merge, median-of-rows coordinate recovery, dense-domain top-k,
+dot/l2 preservation. The transform is the distributed heavy-coordinate
+recovery shape: partials compress locally and ADD."""
+
+import numpy as np
+import pytest
+
+from sketch_spark.sketches.base import from_bytes, make_sketch, merge_all
+from sketch_spark.sketches.rnla import CSVector
+
+RNG = np.random.default_rng(11)
+
+
+def test_heavy_coordinate_recovery_exact_topk():
+    """Planted heavy coordinates among 100k light ones: top-k recovery
+    returns exactly the planted set (top_indices_from_compressed,
+    rnla.h:209-243)."""
+    olddim = 200_000
+    heavy_idx = np.arange(10, dtype=np.int64) * 1111
+    heavy_w = np.linspace(5000, 14000, 10)
+    sk = CSVector(d_out=8192, ns=5)
+    sk.update(heavy_idx, counts=heavy_w)
+    sk.update(RNG.integers(0, olddim, 100_000))  # unit-weight noise floor
+    vals, idx = sk.top_indices(olddim, 10)
+    assert set(idx.tolist()) == set(heavy_idx.tolist())
+    # recovered magnitudes near truth (collision noise ~ sqrt(N/d_out))
+    order = np.argsort(idx)
+    assert np.allclose(np.sort(vals[order]), np.sort(heavy_w), rtol=0.05, atol=30)
+
+
+def test_decompress_median_beats_single_row():
+    """Median over ns rows suppresses collision outliers (cs_decompress,
+    rnla.h:176-196)."""
+    idx = np.arange(2000, dtype=np.int64)
+    w = RNG.random(2000) * 10
+    sk = CSVector(d_out=1024, ns=7)
+    sk.update(idx, counts=w)
+    est = sk.decompress(idx)
+    med_err = np.median(np.abs(est - w))
+    one_row = CSVector(d_out=1024, ns=1)
+    one_row.update(idx, counts=w)
+    one_err = np.median(np.abs(one_row.decompress(idx) - w))
+    assert med_err <= one_err + 1e-9
+
+
+def test_linearity_partition_merge():
+    """Compressed partials add: partitioned build agrees with single pass
+    to float-sum ULP (documented guarantee level); integer weights below
+    2^53 are exactly equal."""
+    vals = np.arange(3000, dtype=np.int64)
+    w_int = RNG.integers(1, 1000, 3000).astype(np.float64)
+    single = CSVector(d_out=4096, ns=4)
+    single.update(vals, counts=w_int)
+    parts = []
+    for sl in (slice(0, 1000), slice(1000, 2222), slice(2222, 3000)):
+        p = CSVector(d_out=4096, ns=4)
+        p.update(vals[sl], counts=w_int[sl])
+        parts.append(p)
+    RNG.shuffle(parts)
+    merged = merge_all(parts)
+    # integer weights: exact equality of every bucket
+    np.testing.assert_array_equal(merged.table, single.table)
+
+
+def test_dot_and_l2_preservation():
+    idx = np.arange(500, dtype=np.int64)
+    xw, yw = RNG.random(500), RNG.random(500)
+    sx = CSVector(d_out=2048, ns=5)
+    sx.update(idx, counts=xw)
+    sy = CSVector(d_out=2048, ns=5)
+    sy.update(idx, counts=yw)
+    true_dot = float(xw @ yw)
+    assert sx.dot(sy) == pytest.approx(true_dot, rel=0.1)
+    assert sx.l2() == pytest.approx(float(np.linalg.norm(xw)), rel=0.05)
+    assert sx.dot(sx) == pytest.approx(float(xw @ xw), rel=0.05)
+
+
+def test_signed_updates_and_absolute_topk():
+    """Negative weights flow through (the AbsMax recovery variant,
+    rnla.h:204-207)."""
+    sk = CSVector(d_out=4096, ns=5)
+    sk.update(np.array([7, 13], dtype=np.int64), counts=np.array([-500.0, 300.0]))
+    vals, idx = sk.top_indices(100, 2, absolute=True)
+    assert set(idx.tolist()) == {7, 13}
+    assert vals[np.argmax(np.abs(vals))] == pytest.approx(-500.0, abs=1.0)
+
+
+def test_roundtrip_params_and_factory():
+    sk = make_sketch("csvec", d_out=999, ns=3)  # non-power-of-2 d_out
+    sk.update(np.arange(100, dtype=np.int64))
+    r = from_bytes(sk.to_bytes())
+    assert r.to_bytes() == sk.to_bytes()
+    assert np.allclose(r.decompress(np.arange(100)), sk.decompress(np.arange(100)))
+    with pytest.raises(ValueError):
+        CSVector(d_out=1)
+    with pytest.raises(ValueError):
+        CSVector(d_out=1024, ns=0)
+    with pytest.raises(ValueError):
+        CSVector(d_out=1024).merge(CSVector(d_out=2048))

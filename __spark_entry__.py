@@ -684,6 +684,33 @@ def q_hmh_card_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hk_heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HeavyKeeper point estimates for the exact top-10 l_partkeys
+    (reference hk.h:21-253 with the batch-deterministic competition and
+    corrected merge documented in sketches/hk.py). nbuckets is sized 8×
+    the distinct-key count, so fingerprint cells are singly occupied whp
+    and every estimate is value-EXACT — the MG capacity-from-data gate
+    recipe, valid at any sf."""
+    li = _t(spark, sf_dir, "lineitem")
+    n_distinct = li.select(F.countDistinct("l_partkey")).first()[0]
+    spec = {"nbuckets": max(4096, int(n_distinct * 8)), "nh": 4}
+    sk = build_sketches(li, [SketchSpec("h", "hk", "l_partkey", spec)])["h"]
+    top = (
+        li.groupBy("l_partkey").count()
+        .orderBy(F.desc("count"), F.asc("l_partkey"))
+        .limit(10)
+        .collect()
+    )
+    keys = np.array([r["l_partkey"] for r in top], dtype=np.int64)
+    est = sk.query(keys)
+    return spark.createDataFrame(
+        [
+            Row(l_partkey=int(r["l_partkey"]), exact_cnt=int(r["count"]), hk_exact=bool(est[i] == r["count"]))
+            for i, r in enumerate(top)
+        ]
+    ).orderBy(F.desc("exact_cnt"), "l_partkey")
+
+
 def q_csvec_user_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RNLA CountSketch vector compression (reference cs_compress /
     cs_decompress, rnla.h:35-54, 176-196): the per-user event-count vector
@@ -1473,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phll_card_jaccard_parts": q_phll_card_jaccard_parts,
         "divbbmh_jaccard_parts": q_divbbmh_jaccard_parts,
         "csvec_user_recovery": q_csvec_user_recovery,
+        "hk_heavy_parts": q_hk_heavy_parts,
         "cbf_orders_counts": q_cbf_orders_counts,
         "pcbf_users_depth": q_pcbf_users_depth,
         "vac_levels_users": q_vac_levels_users,
@@ -1733,6 +1761,10 @@ def oracle_sql() -> dict[str, str]:
         "csvec_user_recovery": (
             "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
             "TRUE AS all_within_bound FROM events"
+        ),
+        "hk_heavy_parts": (
+            "SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt, TRUE AS hk_exact "
+            "FROM lineitem GROUP BY l_partkey ORDER BY exact_cnt DESC, l_partkey LIMIT 10"
         ),
         "kminhash_jaccard_parts": (
             "SELECT CAST((SELECT count(DISTINCT l_partkey) FROM lineitem "

@@ -7,6 +7,7 @@ from sketch_spark.sketches.cbf import CountingBloomStack, ProbabilisticCountingB
 from sketch_spark.sketches.cms import CountMinSketch, CountSketch, CountSketch4W  # noqa: F401
 from sketch_spark.sketches.dd import DDSketch  # noqa: F401
 from sketch_spark.sketches.hll import DoubleHLL, HyperLogFilter, HyperLogLog  # noqa: F401
+from sketch_spark.sketches.hk import HeavyKeeper  # noqa: F401
 from sketch_spark.sketches.hmh import HyperMinHash  # noqa: F401
 from sketch_spark.sketches.icws import ICWS  # noqa: F401
 from sketch_spark.sketches.kll import KLL  # noqa: F401

@@ -37,6 +37,14 @@ PARAM_STRATEGIES = {
     "phll": st.fixed_dictionaries({"p": st.integers(4, 14)}),
     "pmh": st.fixed_dictionaries({"m": st.integers(1, 512)}),
     "icws": st.fixed_dictionaries({"m": st.integers(1, 512)}),
+    "hk": st.fixed_dictionaries(
+        {
+            "nbuckets": st.integers(16, 4096),
+            "nh": st.integers(1, 4),
+            "fpbits": st.integers(8, 32),
+            "ctrbits": st.integers(8, 32),
+        }
+    ),
     "hlf": st.fixed_dictionaries({"p": st.integers(4, 12), "l2ss": st.integers(0, 4)}),
     "vac": st.fixed_dictionaries({"p": st.integers(4, 12), "n_levels": st.integers(2, 20)}),
     "ddsketch": st.fixed_dictionaries(

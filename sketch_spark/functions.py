@@ -35,6 +35,10 @@ def _summary(sk) -> float:
         return float(sk.cardinality_estimate())
     if hasattr(sk, "distinct_estimate"):
         return float(sk.distinct_estimate())
+    if hasattr(sk, "total_mass"):  # ws: Σ weights
+        return float(sk.total_mass())
+    if hasattr(sk, "l2"):  # csvec: vector norm
+        return float(sk.l2())
     if hasattr(sk, "total"):
         return float(sk.total())
     return float("nan")

@@ -8,13 +8,15 @@ computes the sketch estimate AND the exact answer on the real data, returns
 oracle returns the expected constants. Everything is deterministic (seeded
 hashes), so these are stable equalities, not flaky statistical tests.
 
-Operator inventory coverage (36 gated queries): every SURVEY.md §2.1 core
+Operator inventory coverage (52 gated queries): every SURVEY.md §2.1 core
 structure (HLL, Bloom, CMS, Count sketch + 4-wise, bottom-k + counting
-MinHash, KLL, t-digest), the §2.2 secondary structures shipped in rounds
-1-2 (dhll, bbmh, kminhash, smh, hmh, pccm, realccm, threshold-distinct
-FilterHLL, Misra-Gries, multiplicity), three streaming shapes, and the
-training-pipeline ops (dedup exact/LSH/embedding, token stats, text
-quality, similarity/ANN).
+MinHash, KLL, t-digest, DDSketch), the §2.2 secondary structures shipped
+across rounds 1-3 (dhll, bbmh, divbbmh, kminhash, smh, hmh, phll, pccm,
+realccm, threshold-distinct FilterHLL, Misra-Gries, HeavyKeeper,
+multiplicity, cbf/pcbf, vac, hlf, pmh, icws, ws, csvec), three streaming
+shapes, and the training-pipeline ops (dedup exact/LSH/SimHash/embedding
+with connected-component keep-lists, token stats, text quality,
+similarity/ANN).
 """
 
 from __future__ import annotations

@@ -14,9 +14,12 @@ from sketch_spark.spark.checkpoint import checkpointed_build, lineage_report
 SPECS = [
     SketchSpec("h", "hll", "tokens", {"p": 12}),
     SketchSpec("c", "cms", "tokens", {"l2sz": 14, "nh": 4}),
-    # round-2 kinds ride the same kind-agnostic lineage path
+    # round-2/3 kinds ride the same kind-agnostic lineage path
     SketchSpec("s", "smh", "tokens", {"m": 128}),
     SketchSpec("y", "hmh", "tokens", {"p": 10, "r": 8}),
+    SketchSpec("p", "phll", "tokens", {"p": 10}),
+    SketchSpec("k", "hk", "tokens", {"nbuckets": 4096, "nh": 2}),
+    SketchSpec("v", "csvec", "tokens", {"d_out": 1024, "ns": 2}),
 ]
 
 
@@ -37,7 +40,7 @@ def test_full_build_and_lineage(spark, fixtures, ckpt_dir):
     n_files = len([f for f in os.listdir(input_path) if f.endswith(".parquet")])
     rep = lineage_report(spark, ckpt_dir).collect()
     assert len(rep) == n_files
-    assert all(set(r["sketches"]) == {"h", "c", "s", "y"} for r in rep)
+    assert all(set(r["sketches"]) == {s.name for s in SPECS} for r in rep)
 
 
 def test_kill_and_resume_byte_identical(spark, fixtures, ckpt_dir, tmp_path):

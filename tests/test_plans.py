@@ -133,3 +133,22 @@ def test_lsh_window_reuses_bucket_partitioning(spark, docs):
     # every exchange over the band key hashes on bh; no repartition churn
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning(bh" in l]
     assert len(exchanges) >= 1, plan
+
+
+def test_connected_components_joins_are_equi_joins(spark):
+    """Every round of min-label propagation is a key equi-join + groupBy —
+    never a cartesian, and edges stay bidirectional-deduped. Pointer
+    jumping plus localCheckpoint keeps the plan flat across rounds, so
+    auditing the RESULT's plan (post-checkpoint) plus one round's shape
+    suffices."""
+    from sketch_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs, max_iters=4)
+    rows = {r["id"]: r["component"] for r in out.collect()}
+    assert rows == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -686,6 +686,45 @@ def q_hmh_card_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_csvec_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountSketch embedding compression (dense cs_compress, rnla.h:35-54
+    via pipeline/similarity.py::compress_embeddings): 64 → 32 dims, then
+    compressed-domain cosines of 200 consecutive-id pairs must track the
+    exact cosines — mean |Δcos| within the E|N(0,σ)| envelope for
+    σ² = (1 + cos²)/(ns·d_out) (~0.2 at ns·d_out = 32; bound 0.30 with
+    headroom). Deterministic: fixed transform seed, fixed pair set."""
+    from sketch_spark.pipeline.similarity import compress_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comp_df = compress_embeddings(emb, d_out=16, ns=2, seed=7)
+    ids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(201).collect()]
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.where(F.col("vec_id").isin(ids)).collect()
+    }
+    comp = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in comp_df.where(F.col("vec_id").isin(ids)).collect()
+    }
+
+    def cos(u, v):
+        n = np.linalg.norm(u) * np.linalg.norm(v)
+        return float(u @ v / n) if n else 0.0
+
+    errs = [
+        abs(cos(comp[a], comp[b]) - cos(orig[a], orig[b]))
+        for a, b in zip(ids[:-1], ids[1:])
+    ]
+    return spark.createDataFrame(
+        [
+            Row(
+                n_pairs=int(len(errs)),
+                mean_err_within_bound=bool(float(np.mean(errs)) <= 0.30),
+            )
+        ]
+    )
+
+
 def q_hk_heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HeavyKeeper point estimates for the exact top-10 l_partkeys
     (reference hk.h:21-253 with the batch-deterministic competition and
@@ -1503,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "divbbmh_jaccard_parts": q_divbbmh_jaccard_parts,
         "csvec_user_recovery": q_csvec_user_recovery,
         "hk_heavy_parts": q_hk_heavy_parts,
+        "csvec_embedding_cosine": q_csvec_embedding_cosine,
         "cbf_orders_counts": q_cbf_orders_counts,
         "pcbf_users_depth": q_pcbf_users_depth,
         "vac_levels_users": q_vac_levels_users,
@@ -1767,6 +1807,10 @@ def oracle_sql() -> dict[str, str]:
         "hk_heavy_parts": (
             "SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt, TRUE AS hk_exact "
             "FROM lineitem GROUP BY l_partkey ORDER BY exact_cnt DESC, l_partkey LIMIT 10"
+        ),
+        "csvec_embedding_cosine": (
+            "SELECT CAST(LEAST(count(*), 201) - 1 AS BIGINT) AS n_pairs, "
+            "TRUE AS mean_err_within_bound FROM embeddings"
         ),
         "kminhash_jaccard_parts": (
             "SELECT CAST((SELECT count(DISTINCT l_partkey) FROM lineitem "

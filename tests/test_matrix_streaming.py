@@ -245,3 +245,48 @@ def test_streaming_decayed_cms_recency_weighting(spark, tmp_path):
     expected = 0.5 * order[0] + 1.0 * order[1]
     assert acc.query(np.array([7], dtype=np.int64))[0] == expected
     assert acc.epoch == 2
+
+
+def test_stateful_streaming_round3_maxmonoid_kind(spark, fixtures, tmp_path):
+    """phll (round 3) through the state-store path: a true max-monoid, so
+    the drained per-key states must byte-match the batch grouped build,
+    like hll — the streaming layer is kind-agnostic by construction."""
+    import os
+
+    from sketch_spark.streaming import stateful_sketch_by_key
+
+    d, _ = fixtures
+    input_dir = os.path.join(d, "overlap")
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(input_dir)
+    )
+    spec = SketchSpec("p", "phll", "tokens", {"p": 12})
+    out = stateful_sketch_by_key(stream, "source", spec)
+    sink = str(tmp_path / "sink")
+
+    def write(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(sink)
+
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(write)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(sink).collect()
+    final = {}
+    for r in rows:
+        if r["key"] not in final or r["batch_id"] > final[r["key"]]["batch_id"]:
+            final[r["key"]] = r
+    want = {
+        r["source"]: bytes(r["state"])
+        for r in sketch_by_key(spark.read.parquet(input_dir), "source", [spec]).collect()
+    }
+    assert set(final) == set(want)
+    for k, w in want.items():
+        assert bytes(final[k]["state"]) == w, k

@@ -225,7 +225,9 @@ def build_weighted_sketch(
     return out.get("w", make_sketch(kind, **params))
 
 
-def sketch_by_key(df: DataFrame, key: str, specs: list[SketchSpec]) -> DataFrame:
+def sketch_by_key(
+    df: DataFrame, key: str, specs: list[SketchSpec], weight_col: str | None = None
+) -> DataFrame:
     """Grouped sketches, two-phase (scales to high-cardinality keys).
 
     Phase 1 (map side): within each partition, group Arrow batches by key in
@@ -234,6 +236,15 @@ def sketch_by_key(df: DataFrame, key: str, specs: list[SketchSpec]) -> DataFrame
     merge. The shuffle moves |keys|×|specs| states per partition, never raw
     rows — map-side combine done manually since Spark has no Python UDAF
     with partial aggregation.
+
+    ``weight_col`` (optional): a numeric per-row weight fed through every
+    spec's ``update(values, counts=...)`` — the grouped form of
+    :func:`build_weighted_sketch`, one pass for ALL keys instead of one
+    filtered build per key. For list/token value columns the row's weight
+    applies to each of its tokens. Requires every spec's kind to accept
+    ``counts=`` (cms / countsketch / topk / pccm / pmh / icws / ws / csvec /
+    hk / counting_minhash); the same per-kind merge-semantics caveats as
+    the ungrouped weighted build apply.
 
     The output ``key`` column keeps the input column's type (string, any
     numeric, date/timestamp); null keys form their own group, matching
@@ -258,18 +269,26 @@ def sketch_by_key(df: DataFrame, key: str, specs: list[SketchSpec]) -> DataFrame
                 uniq = uniq + [None]
             else:
                 inv = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            wrow = (
+                _extract_column(batch, weight_col, want_float=True)
+                if weight_col is not None
+                else None
+            )
             for name, kind, col, params, want_float in spec_list:
                 arr = batch.column(batch.schema.get_field_index(col))
                 is_list = pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
                 vals = _extract_column(batch, col, want_float)
                 if is_list:
-                    # repeat each row's group id over its token count
+                    # repeat each row's group id (and weight) over its tokens
                     lens = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
                     vinv = np.repeat(inv, lens)
+                    wv = np.repeat(wrow, lens) if wrow is not None else None
                 else:
                     vinv = inv
+                    wv = wrow
                 order = np.argsort(vinv, kind="stable")
                 sv, so = vals[order], vinv[order]
+                sw = wv[order] if wv is not None else None
                 bounds = np.searchsorted(so, np.arange(len(uniq) + 1))
                 for gi, kval in enumerate(uniq):
                     seg = sv[bounds[gi] : bounds[gi + 1]]
@@ -278,7 +297,10 @@ def sketch_by_key(df: DataFrame, key: str, specs: list[SketchSpec]) -> DataFrame
                     sk = acc.get((kval, name))
                     if sk is None:
                         sk = acc[(kval, name)] = make_sketch(kind, **params)
-                    sk.update(seg)
+                    if sw is None:
+                        sk.update(seg)
+                    else:
+                        sk.update(seg, counts=sw[bounds[gi] : bounds[gi + 1]])
         if acc:
             items = sorted(acc.items(), key=lambda kv: (repr(kv[0][0]), kv[0][1]))
             yield pa.RecordBatch.from_arrays(
@@ -290,7 +312,7 @@ def sketch_by_key(df: DataFrame, key: str, specs: list[SketchSpec]) -> DataFrame
                 names=[key, "name", "state"],
             )
 
-    cols = sorted({s.col for s in specs} | {key})
+    cols = sorted({s.col for s in specs} | {key} | ({weight_col} if weight_col else set()))
     partials = df.select(*cols).mapInArrow(partial, f"{key} {key_type}, name string, state binary")
 
     def final_merge(pdf):

@@ -281,3 +281,59 @@ def test_sketch_by_key_preserves_key_type(spark):
     assert dict(out.dtypes)["k"] == "bigint"
     got = {r["k"] for r in out.collect()}
     assert got == {1, 2, None}
+
+
+def test_sketch_by_key_weighted_matches_ungrouped(spark):
+    """weight_col: the grouped weighted build (ONE pass, all keys) must
+    byte-match per-key build_weighted_sketch calls — here with cms (exact
+    additive monoid) and ws via pre-aggregated (value, weight) rows (the
+    value-partitioned regime where ws's merge is byte-identical)."""
+    import numpy as np
+
+    from sketch_spark.spark.agg import build_weighted_sketch
+
+    rng = np.random.default_rng(4)
+    rows = [
+        (src, int(v), int(w))
+        for src in ("A", "B")
+        for v, w in zip(range(300), rng.integers(1, 9, 300))
+    ]
+    df = spark.createDataFrame(rows, "src string, v bigint, w bigint")
+    specs = [
+        SketchSpec("c", "cms", "v", {"l2sz": 12, "nh": 4}),
+        SketchSpec("x", "ws", "v", {"base_params": {"k": 8192}, "l2sz": 16}),
+    ]
+    got = {
+        (r["src"], r["name"]): bytes(r["state"])
+        for r in sketch_by_key(df, "src", specs, weight_col="w").collect()
+    }
+    assert set(got) == {("A", "c"), ("A", "x"), ("B", "c"), ("B", "x")}
+    for src in ("A", "B"):
+        sub = df.where(F.col("src") == src)
+        for spec in specs:
+            want = build_weighted_sketch(sub, spec.kind, "v", "w", spec.params)
+            assert got[(src, spec.name)] == want.to_bytes(), (src, spec.name)
+
+
+def test_sketch_by_key_weighted_list_column_repeats_row_weight(spark):
+    """For token-array columns the row's weight applies to every token."""
+    import numpy as np
+
+    from sketch_spark.sketches.base import from_bytes, make_sketch
+
+    df = spark.createDataFrame(
+        [("A", [1, 2, 3], 5), ("A", [2], 2), ("B", [7], 3)],
+        "src string, toks array<bigint>, w bigint",
+    )
+    out = {
+        r["src"]: bytes(r["state"])
+        for r in sketch_by_key(
+            df, "src", [SketchSpec("c", "cms", "toks", {"l2sz": 10, "nh": 3})], weight_col="w"
+        ).collect()
+    }
+    want_a = make_sketch("cms", l2sz=10, nh=3).update(
+        np.array([1, 2, 3, 2]), counts=np.array([5, 5, 5, 2])
+    )
+    want_b = make_sketch("cms", l2sz=10, nh=3).update(np.array([7]), counts=np.array([3]))
+    assert from_bytes(out["A"]).to_bytes() == want_a.to_bytes()
+    assert from_bytes(out["B"]).to_bytes() == want_b.to_bytes()

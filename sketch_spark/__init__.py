@@ -20,18 +20,31 @@ from sketch_spark.sketches import (  # noqa: F401
     BBitMinHash,
     BloomFilter,
     BottomKMinHash,
+    CountingBloomStack,
     CountingBottomKMinHash,
     CountMinSketch,
     CountSketch,
     CountSketch4W,
+    CSVector,
+    DDSketch,
+    DivBBitMinHash,
+    DoubleHLL,
+    HeavyKeeper,
+    HyperLogFilter,
     HyperLogLog,
     HyperMinHash,
+    ICWS,
     KLL,
     KMinHash,
     MisraGries,
+    PackedHLL,
+    PMinHash,
+    ProbabilisticCountingBloom,
     SampledMultiplicity,
     SuperMinHash,
     TDigest,
+    VACSketch,
+    WeightedSketcher,
     from_bytes,
     make_sketch,
 )

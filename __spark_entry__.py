@@ -8,15 +8,15 @@ computes the sketch estimate AND the exact answer on the real data, returns
 oracle returns the expected constants. Everything is deterministic (seeded
 hashes), so these are stable equalities, not flaky statistical tests.
 
-Operator inventory coverage (52 gated queries): every SURVEY.md §2.1 core
-structure (HLL, Bloom, CMS, Count sketch + 4-wise, bottom-k + counting
-MinHash, KLL, t-digest, DDSketch), the §2.2 secondary structures shipped
-across rounds 1-3 (dhll, bbmh, divbbmh, kminhash, smh, hmh, phll, pccm,
-realccm, threshold-distinct FilterHLL, Misra-Gries, HeavyKeeper,
-multiplicity, cbf/pcbf, vac, hlf, pmh, icws, ws, csvec), three streaming
-shapes, and the training-pipeline ops (dedup exact/LSH/SimHash/embedding
-with connected-component keep-lists, token stats, text quality,
-similarity/ANN).
+Operator inventory coverage (one gate row per operator — ``len(queries())``
+is the exact count): every SURVEY.md §2.1 core structure (HLL, Bloom, CMS,
+Count sketch + 4-wise, bottom-k + counting MinHash, KLL, t-digest,
+DDSketch), the §2.2 secondary structures shipped across rounds 1-4 (dhll,
+bbmh, divbbmh, kminhash, smh, hmh, phll, pccm, realccm, threshold-distinct
+FilterHLL, Misra-Gries, HeavyKeeper, multiplicity, cbf/pcbf, vac, hlf, pmh,
+icws, ws, csvec), three streaming shapes, and the training-pipeline ops
+(dedup exact/LSH/SimHash incl. Hamming-≤k/embedding with
+connected-component keep-lists, token stats, text quality, similarity/ANN).
 """
 
 from __future__ import annotations
@@ -1200,6 +1200,57 @@ def q_simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_hamming_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤k near-dup gate (Manku et al. WWW'07 segment
+    bucketing; round-3 verdict item #2): for every 10th document plant one
+    copy of its 64-bit signature with EXACTLY 3 bits flipped (fixed mask
+    incl. bit 63 — sign-bit correctness) and one with 4 bits flipped.
+    At k=3 every 3-flip pair must be recovered with hamming == 3 (pigeonhole
+    guarantees a clean segment; verify is exact bit_count), and no base may
+    pair with its 4-flip copy. Deterministic — signatures are seeded, masks
+    fixed."""
+    from sketch_spark.pipeline.dedup import simhash_hamming_pairs, simhash_signatures
+
+    def signed(u: int) -> int:
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    mask3 = signed((1 << 1) | (1 << 22) | (1 << 63))
+    mask4 = (1 << 2) | (1 << 17) | (1 << 33) | (1 << 59)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = simhash_signatures(docs).persist()
+    base = sigs.where(F.col("doc_id") % 10 == 0)
+    planted3 = base.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.col("simhash").bitwiseXOR(F.lit(mask3)).alias("simhash"),
+    )
+    planted4 = base.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.col("simhash").bitwiseXOR(F.lit(mask4)).alias("simhash"),
+    )
+    corpus = sigs.unionByName(planted3).unionByName(planted4)
+    # max_bucket_size=4096 > corpus size at gate sf: the star guard never
+    # truncates, so direct-pair recall (not just hub connectivity) is exact
+    found = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(corpus, k=3, max_bucket_size=4096).collect()
+    }
+    planted = [int(r["doc_id"]) for r in base.select("doc_id").collect()]
+    recall3 = all(found.get((i, i + 2_000_000)) == 3 for i in planted)
+    no_k4 = not any(
+        (i, i + 3_000_000) in found or (i + 3_000_000, i) in found for i in planted
+    )
+    sigs.unpersist()
+    return spark.createDataFrame(
+        [
+            Row(
+                n_planted=len(planted),
+                hamming3_recall_all=bool(recall3),
+                no_k4_pairs=bool(no_k4),
+            )
+        ]
+    )
+
+
 def q_threshold_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FilterHLL capability (reference filterhll.h:11-113): distinct users
     with ≥ 10 events, via repartition-co-located CMS-gated HLL insertion —
@@ -1553,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_neardup_docs": q_lsh_neardup_docs,
         "lsh_neardup_keep": q_lsh_neardup_keep,
         "simhash_neardup_docs": q_simhash_neardup_docs,
+        "simhash_hamming_neardup_docs": q_simhash_hamming_neardup_docs,
         "ngram_jaccard_pairs_docs": q_ngram_jaccard_pairs_docs,
         "threshold_distinct_users": q_threshold_distinct_users,
         "streaming_windowed_daily_hll": q_streaming_windowed_daily_hll,
@@ -1918,6 +1970,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup_docs": (
             "SELECT CAST(count(*) AS BIGINT) AS n_exact_dup_pairs, TRUE AS simhash_recall_all "
             "FROM documents WHERE doc_id % 10 = 0"
+        ),
+        "simhash_hamming_neardup_docs": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_planted, TRUE AS hamming3_recall_all, "
+            "TRUE AS no_k4_pairs FROM documents WHERE doc_id % 10 = 0"
         ),
         "ngram_jaccard_pairs_docs": (
             r"""

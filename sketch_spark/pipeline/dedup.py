@@ -19,9 +19,10 @@ from typing import Iterator
 import numpy as np
 import pyarrow as pa
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from sketch_spark.hashing import splitmix64, wanghash
+from sketch_spark.pipeline.buckets import guarded_bucket_pairs
 from sketch_spark.pipeline.text import with_fingerprint
 
 _U64 = np.uint64
@@ -190,27 +191,9 @@ def lsh_candidate_pairs(
             .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
             .distinct()
         )
-    # bucket size + representative via a window over bh: ONE shuffle of the
-    # exploded rows (a groupBy+join would shuffle them twice, and the stats
-    # side is not broadcastable at corpus scale), and the result stays
-    # hash-partitioned on bh so the self-join below reuses the exchange
-    w = Window.partitionBy("bh")
-    tagged = exploded.withColumn("_bsize", F.count("*").over(w)).withColumn(
-        "_bmin", F.min(id_col).over(w)
-    )
-    small = tagged.where(F.col("_bsize") <= max_bucket_size).select(id_col, "bh")
-    l = small.alias("l")
-    r = small.alias("r")
-    pairs_small = (
-        l.join(r, "bh")
-        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-    )
-    pairs_big = (
-        tagged.where((F.col("_bsize") > max_bucket_size) & (F.col(id_col) != F.col("_bmin")))
-        .select(F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b"))
-    )
-    return pairs_small.unionByName(pairs_big).distinct()
+    # skew-safe guard: bucket stats via groupBy+join-back (see buckets.py for
+    # why not Window.partitionBy — a mega-bucket would funnel through 1 task)
+    return guarded_bucket_pairs(exploded, ["bh"], id_col, max_bucket_size).distinct()
 
 
 def signature_jaccard(sigs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -308,8 +291,8 @@ def simhash_neardups(
     id_col: str = "doc_id",
     max_bucket_size: int | None = 64,
 ) -> DataFrame:
-    """Pairs with identical SimHash (bucket join; Hamming-k via rotations is
-    the same join repeated k times — kept simple here).
+    """Pairs with identical SimHash (bucket join). For Hamming distance ≤ k
+    use :func:`simhash_hamming_neardups`.
 
     Same hot-bucket guard as :func:`lsh_candidate_pairs`: buckets above
     `max_bucket_size` use star pairing against the bucket-min id so a flood
@@ -326,23 +309,96 @@ def simhash_neardups(
             .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
             .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         )
-    w = Window.partitionBy("simhash")
-    tagged = sigs.withColumn("_bsize", F.count("*").over(w)).withColumn(
-        "_bmin", F.min(id_col).over(w)
+    return guarded_bucket_pairs(
+        sigs.select(id_col, "simhash"), ["simhash"], id_col, max_bucket_size
     )
-    small = tagged.where(F.col("_bsize") <= max_bucket_size).select(id_col, "simhash")
-    l = small.alias("l")
-    r = small.alias("r")
-    pairs_small = (
-        l.join(r, "simhash")
-        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+
+
+def simhash_hamming_neardups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """Pairs whose 64-bit SimHash signatures differ in at most ``k`` bits —
+    the standard web-crawl near-dup setting (Manku, Jain & Das Sarma,
+    WWW'07, "Detecting near-duplicates for web crawling"; k ∈ {2,3}).
+
+    Segment bucketing (the multi-table pigeonhole trick): split the 64-bit
+    signature into ``k+1`` contiguous segments. Two signatures within
+    Hamming distance k must agree EXACTLY on at least one segment (k flipped
+    bits can dirty at most k of the k+1 segments), so candidates are the
+    union over segments of same-(segment_id, segment_value) buckets — k+1
+    compact-key equi-joins in one plan, never a cross product. Exact
+    verification is then JVM-side: ``bit_count(sig_a ^ sig_b) <= k``.
+
+    Candidate volume: a random 64-bit signature population of n docs spreads
+    each ~⌈64/(k+1)⌉-bit segment over 2^16 values (k=3), so expected bucket
+    size is n/65536 per segment — the same linear-growth profile as
+    MinHash-LSH banding, and the same hot-bucket star guard applies (true
+    identical-signature floods collapse to hub→member pairs; run
+    :func:`exact_dedup` first to keep byte-identical floods out entirely).
+
+    Returns (id_a, id_b, hamming). No reference counterpart (the reference
+    has no SimHash; training-pipeline brief item) — the bar is the published
+    algorithm.
+    """
+    sigs = simhash_signatures(df, text_col, id_col).persist()
+    sigs.count()  # materialize once: the k+1 segment buckets + verify join all reuse it
+    return simhash_hamming_pairs(sigs, id_col=id_col, k=k, max_bucket_size=max_bucket_size)
+
+
+def simhash_hamming_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """Hamming-≤k pair recovery over a precomputed (id, simhash) table —
+    the signature-level core of :func:`simhash_hamming_neardups`, exposed
+    so planted-bit-flip tests and signature-reusing callers skip the text
+    pass. Semantics and scale notes in the wrapper's docstring; under the
+    star guard, an oversized EXACT-signature bucket collapses to hub→member
+    pairs (Hamming 0, always kept), matching the LSH guard contract.
+    """
+    if k < 0 or k > 16:
+        raise ValueError("k must be in [0, 16]")
+    n_seg = k + 1
+    widths = [64 // n_seg + (1 if i < 64 % n_seg else 0) for i in range(n_seg)]
+    offsets = [sum(widths[:i]) for i in range(n_seg)]
+    seg_exprs = [
+        # fold (segment_id, segment_bits) into one 64-bit key — same
+        # compact-key shuffle shape as lsh_candidate_pairs' band hash
+        F.xxhash64(
+            F.lit(i),
+            F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
+            ),
+        ).alias(f"seg{i}")
+        for i in range(n_seg)
+    ]
+    membership = sigs.select(id_col, F.explode(F.array(*seg_exprs)).alias("seg"))
+    if max_bucket_size is None:
+        l = membership.alias("l")
+        r = membership.alias("r")
+        cand = (
+            l.join(r, "seg")
+            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+            .distinct()
+        )
+    else:
+        cand = guarded_bucket_pairs(membership, ["seg"], id_col, max_bucket_size).distinct()
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .where(F.col("hamming") <= k)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )
-    pairs_big = (
-        tagged.where((F.col("_bsize") > max_bucket_size) & (F.col(id_col) != F.col("_bmin")))
-        .select(F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b"))
-    )
-    return pairs_small.unionByName(pairs_big)
 
 
 # ---------------- near-dup group resolution (pairs → components → keep) ------
@@ -351,6 +407,7 @@ def simhash_neardups(
 def connected_components(
     pairs: DataFrame,
     max_iters: int = 25,
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """Resolve near-dup pair edges into duplicate groups: (id, component)
     where ``component`` is the minimum id in the vertex's connected
@@ -391,7 +448,9 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         msgs = edges.join(labels.withColumnRenamed("id", "src"), "src").select(
             F.col("dst").alias("id"), "label"
         )
@@ -413,6 +472,10 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    if rounds_out is not None:
+        # instrumentation hook for convergence tests (rounds actually run,
+        # including the final no-change confirmation round)
+        rounds_out.append(rounds)
     edges.unpersist()
     return labels.select("id", F.col("label").alias("component"))
 

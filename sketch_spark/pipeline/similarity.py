@@ -19,6 +19,8 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from sketch_spark.pipeline.buckets import guarded_bucket_pairs
+
 
 def _batch_matrix(arr: pa.Array) -> np.ndarray:
     """(n, d) float32 matrix from an Arrow list<float> column (zero-copy
@@ -178,23 +180,11 @@ def embedding_neardups(
     buckets = lsh_bucket_embeddings(
         df, n_planes=n_planes, n_tables=n_tables, seed=seed, id_col=id_col, vec_col=vec_col
     )
-    w = Window.partitionBy("table", "bucket")
-    tagged = buckets.withColumn("_bsize", F.count("*").over(w)).withColumn(
-        "_bmin", F.min(id_col).over(w)
-    )
-    small = tagged.where(F.col("_bsize") <= max_bucket_size).select(id_col, "table", "bucket")
-    l = small.alias("l")
-    r = small.alias("r")
-    pairs_small = (
-        l.join(r, ["table", "bucket"])
-        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-    )
-    pairs_big = (
-        tagged.where((F.col("_bsize") > max_bucket_size) & (F.col(id_col) != F.col("_bmin")))
-        .select(F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b"))
-    )
-    cand = pairs_small.unionByName(pairs_big).distinct()
+    # skew-safe guard: groupBy+join-back bucket stats (buckets.py), never a
+    # Window over the bucket key
+    cand = guarded_bucket_pairs(
+        buckets, ["table", "bucket"], id_col, max_bucket_size
+    ).distinct()
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)

@@ -136,6 +136,72 @@ def test_simhash_hot_bucket_guard_linear(spark):
     assert simhash_neardups(df, max_bucket_size=64).count() == n - 1
 
 
+def test_simhash_hamming_recovers_planted_flips(spark):
+    """Planted signatures k'=0..3 bit flips from a base must pair with the
+    base for every k' ≤ k (segment pigeonhole guarantees candidate
+    recovery; verify is exact bit_count), and k' > k must NOT pair with it.
+    Signature-level, fully deterministic."""
+    from sketch_spark.pipeline.dedup import simhash_hamming_pairs
+
+    def to_signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    base = 0x0123_4567_89AB_CDEF
+    rows = []
+    # distant deterministic background noise (far from base in every segment)
+    for i in range(20):
+        rows.append((100 + i, to_signed((base ^ ((i + 1) * 0x9E37_79B9_7F4A_7C15)) & ((1 << 64) - 1))))
+    # planted: doc k' = base with exactly k' bits flipped (incl. bit 63 —
+    # sign-bit handling must be correct end-to-end)
+    flips = {0: [], 1: [3], 2: [7, 40], 3: [1, 22, 63], 4: [2, 17, 33, 59]}
+    for k_planted, bits in flips.items():
+        sig = base
+        for b in bits:
+            sig ^= 1 << b
+        rows.append((k_planted, to_signed(sig)))
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(sigs, k=3).collect()
+    }
+    # doc 0 carries the exact base; docs 1..3 must pair with it at hamming k'
+    for kp in (1, 2, 3):
+        pair = (0, kp)
+        assert pair in got, (kp, got)
+    # doc 4 is 4 flips from base — never paired with doc 0
+    assert (0, 4) not in got and (4, 0) not in got
+
+
+def test_simhash_hamming_end_to_end_text(spark):
+    """Text-level wrapper: exact copies pair at hamming 0; unrelated text
+    does not pair."""
+    from sketch_spark.pipeline.dedup import simhash_hamming_neardups
+
+    rows = [
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=2, text=BASE),
+        Row(doc_id=3, text=OTHER),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_hamming_neardups(df, k=3).collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_hamming_flood_star_guard(spark):
+    """A flood of identical signatures must collapse to the linear star in
+    each of the k+1 segment buckets → exactly n-1 verified pairs (hamming
+    0), not O(n²)."""
+    from sketch_spark.pipeline.dedup import simhash_hamming_pairs
+
+    n = 1000
+    sigs = spark.createDataFrame(
+        [Row(doc_id=i, simhash=0x1234_5678_9ABC) for i in range(n)],
+        "doc_id long, simhash long",
+    )
+    assert simhash_hamming_pairs(sigs, k=3, max_bucket_size=64).count() == n - 1
+
+
 def test_lsh_small_buckets_still_all_pairs(docs):
     """The guard must not change semantics for normal-sized buckets: all
     within-bucket pairs survive when buckets are under the cap."""
@@ -194,6 +260,37 @@ def test_connected_components_long_chain_converges_log_rounds(spark):
     got = connected_components(pairs, max_iters=10).collect()
     assert len(got) == 61
     assert {r["component"] for r in got} == {"n000"}
+
+
+def test_connected_components_flood_star_converges_fast(spark):
+    """Flood shape at skew (round-3 verdict item #6): the hot-bucket guard
+    emits a star, so a 100k-member flood component must resolve in the
+    minimum possible 2 rounds (1 propagation + 1 no-change confirmation) —
+    and the label stages must stay key-partitioned joins/aggregates, never
+    a window or single-partition stage over the edge set."""
+    from sketch_spark.pipeline.dedup import connected_components
+
+    n = 100_000
+    star = spark.range(1, n).select(
+        F.lit(0).alias("id_a"), F.col("id").alias("id_b")
+    )
+    rounds = []
+    out = connected_components(star, max_iters=10, rounds_out=rounds)
+    comps = out.groupBy("component").count().collect()
+    assert len(comps) == 1 and comps[0]["count"] == n
+    assert rounds == [2], rounds
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window [" not in plan
+    assert "CartesianProduct" not in plan
+    # chains hanging off the star still converge logarithmically
+    chain = spark.createDataFrame(
+        [(200_000 + i, 200_001 + i) for i in range(16)] + [(0, 200_000)],
+        "id_a long, id_b long",
+    )
+    rounds2 = []
+    out2 = connected_components(star.unionByName(chain), max_iters=10, rounds_out=rounds2)
+    assert out2.select("component").distinct().count() == 1
+    assert rounds2[0] <= 6, rounds2
 
 
 def test_neardup_dedup_resolves_chains_end_to_end(spark):

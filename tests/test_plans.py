@@ -123,16 +123,82 @@ def test_embedding_neardup_join_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_lsh_window_reuses_bucket_partitioning(spark, docs):
-    """The hot-bucket stats window and the small-bucket self-join share the
-    hash(bh) partitioning — the exploded band keys shuffle ONCE."""
-    from sketch_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+def test_lsh_bucket_stats_use_no_window(spark, docs, sf_dir):
+    """Hot-bucket stats must come from groupBy(bucket)+join-back, never
+    Window.partitionBy(bucket): a window funnels a mega-bucket's exploded
+    rows through ONE task before the star guard can cap anything (the r3
+    skew ceiling). groupBy map-side-combines to one row per bucket, and the
+    join-back is AQE-skew-splittable. Assert no Window node in ANY bucketed
+    candidate plan."""
+    import numpy as np
+
+    from sketch_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash_neardups,
+    )
+    from sketch_spark.pipeline.similarity import embedding_neardups
 
     sigs = minhash_signatures(docs.limit(50), num_hashes=32)
+    for df in (
+        lsh_candidate_pairs(sigs, bands=8, rows_per_band=4),
+        simhash_neardups(docs.limit(50)),
+        embedding_neardups(
+            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).limit(50),
+            n_planes=4,
+            n_tables=2,
+        ),
+    ):
+        plan = _plan(df)
+        assert "Window [" not in plan and "\nWindow " not in plan, plan
+        # stats come from a partial_count-capable hash aggregate instead
+        assert "HashAggregate" in plan or "partial_count" in plan, plan
+    # and the band-key shuffle is still on the compact bucket key
     plan = _plan(lsh_candidate_pairs(sigs, bands=8, rows_per_band=4))
-    # every exchange over the band key hashes on bh; no repartition churn
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning(bh" in l]
     assert len(exchanges) >= 1, plan
+
+
+def test_simhash_hamming_join_is_equi_join_no_window(spark, docs):
+    """Segment bucketing must plan as k+1 equi-joins on the folded segment
+    key — no cartesian, no window, and exact-Hamming verify stays JVM-side
+    (bit_count in the projection, no Python eval)."""
+    from sketch_spark.pipeline.dedup import simhash_hamming_neardups
+
+    pairs = simhash_hamming_neardups(docs.limit(50), k=3)
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window [" not in plan and "\nWindow " not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "bit_count" in plan, plan
+
+
+def test_signature_jaccard_broadcasts_pairs_side(spark, docs):
+    """At production scale the candidate-pair set is small relative to the
+    signature table — the verify join should broadcast the pairs side, not
+    shuffle the full signature table (round-3 verdict item #7). We do NOT
+    hard-code a broadcast hint in the library (pairs CAN be billions of
+    rows at 100 TB; an unconditional broadcast would OOM the driver) — AQE
+    converts the join at runtime from the pairs side's actual size, so the
+    audit executes the query and inspects the final adaptive plan."""
+    from pyspark.sql.functions import broadcast  # noqa: F401  (see docstring)
+
+    from sketch_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        signature_jaccard,
+    )
+
+    sigs = minhash_signatures(docs.limit(200), num_hashes=32).persist()
+    sigs.count()
+    pairs = lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
+    out = signature_jaccard(sigs, pairs)
+    out.collect()  # materialize so AQE finalizes the physical plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    sigs.unpersist()
 
 
 def test_connected_components_joins_are_equi_joins(spark):

@@ -14,7 +14,7 @@ Count sketch + 4-wise, bottom-k + counting MinHash, KLL, t-digest,
 DDSketch), the §2.2 secondary structures shipped across rounds 1-4 (dhll,
 bbmh, divbbmh, kminhash, smh, hmh, phll, pccm, realccm, threshold-distinct
 FilterHLL, Misra-Gries, HeavyKeeper, multiplicity, cbf/pcbf, vac, hlf, pmh,
-icws, ws, csvec), three streaming shapes, and the training-pipeline ops
+icws, ws, csvec, wzcs), three streaming shapes, and the training-pipeline ops
 (dedup exact/LSH/SimHash incl. Hamming-≤k/embedding with
 connected-component keep-lists, token stats, text quality, similarity/ANN).
 """
@@ -772,6 +772,27 @@ def q_csvec_user_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = sk.decompress(keys)
     ok = bool(np.all(np.abs(est - exact) <= bound))
     return spark.createDataFrame([Row(n_users=int(len(keys)), all_within_bound=ok)])
+
+
+def q_wzcs_user_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Woodruff–Zhang exponential-sampling CountSketch (wz_compress /
+    wz_decompress, rnla.h:88-174): the per-user event-count vector is
+    compressed distributively under DETERMINISTIC sign·Exp_p multipliers
+    (seed = hash quotient, rnla.h:100-105 — multipliers are a pure hash
+    function, so the distributed build is reproducible), then every
+    user's count is recovered by divide-out-the-multiplier median-of-rows
+    decompression (rnla.h:160-166). VALUE-EXACT gate: at d_out=16384,
+    ns=7 the rounded recovery equals the exact group-by count for every
+    user (collision noise below 0.5 after the median), so the oracle is
+    the plain exact aggregate — the strongest possible parity for a
+    lossy-by-design linear sketch."""
+    ev = _t(spark, sf_dir, "events")
+    sk = build_sketches(ev, [SketchSpec("v", "wzcs", "user_id", {"d_out": 16384, "ns": 7, "p": 1.0})])["v"]
+    keys = np.array([r["user_id"] for r in ev.select("user_id").distinct().collect()], dtype=np.int64)
+    est = np.rint(sk.decompress(keys)).astype(np.int64)
+    return spark.createDataFrame(
+        [Row(user_id=int(k), wz_cnt=int(c)) for k, c in zip(keys, est)]
+    ).orderBy("user_id")
 
 
 def q_divbbmh_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1592,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phll_card_jaccard_parts": q_phll_card_jaccard_parts,
         "divbbmh_jaccard_parts": q_divbbmh_jaccard_parts,
         "csvec_user_recovery": q_csvec_user_recovery,
+        "wzcs_user_recovery": q_wzcs_user_recovery,
         "hk_heavy_parts": q_hk_heavy_parts,
         "csvec_embedding_cosine": q_csvec_embedding_cosine,
         "cbf_orders_counts": q_cbf_orders_counts,
@@ -1855,6 +1877,11 @@ def oracle_sql() -> dict[str, str]:
         "csvec_user_recovery": (
             "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
             "TRUE AS all_within_bound FROM events"
+        ),
+        "wzcs_user_recovery": (
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(count(*) AS BIGINT) AS wz_cnt "
+            "FROM events GROUP BY user_id ORDER BY user_id"
         ),
         "hk_heavy_parts": (
             "SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt, TRUE AS hk_exact "

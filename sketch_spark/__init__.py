@@ -45,6 +45,7 @@ from sketch_spark.sketches import (  # noqa: F401
     TDigest,
     VACSketch,
     WeightedSketcher,
+    WZVector,
     from_bytes,
     make_sketch,
 )

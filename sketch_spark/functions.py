@@ -37,8 +37,11 @@ def _summary(sk) -> float:
         return float(sk.distinct_estimate())
     if hasattr(sk, "total_mass"):  # ws: Σ weights
         return float(sk.total_mass())
-    if hasattr(sk, "l2"):  # csvec: vector norm
-        return float(sk.l2())
+    if hasattr(sk, "l2"):  # csvec: vector norm (wzcs defines but forbids it)
+        try:
+            return float(sk.l2())
+        except ValueError:
+            return float("nan")
     if hasattr(sk, "total"):
         return float(sk.total())
     return float("nan")

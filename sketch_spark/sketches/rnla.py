@@ -19,10 +19,24 @@ Here that trio is a registered sketch kind (``csvec``) so the whole Spark
 path — mapInArrow partials, tree merges, weighted builds, checkpointing —
 applies unchanged. Layout divergence (documented): the reference
 interleaves rows as ``ret[bucket*ns + j]`` for SIMD locality
-(rnla.h:48); we store the equivalent row-major (ns, newdim) matrix. The
-``wz_compress`` exponential-sampling variant (rnla.h:88-135) and the
-FFT tensor-sketch listed in the reference's own TODO (rnla.h:26-31) are
-not shipped.
+(rnla.h:48); we store the equivalent row-major (ns, newdim) matrix.
+
+``WZVector`` (kind ``wzcs``) is the ``wz_compress`` / ``wz_decompress``
+exponential-sampling variant (rnla.h:88-174, Transform::WoodruffZhang,
+rnla.h:16): instead of a ±1 sign, each (coordinate, row) pair gets a
+DETERMINISTIC multiplier ``sign(quot & 1) · Exp_p(seed = quot >> 1)``
+where ``quot = h // newdim`` is the hash quotient (rnla.h:100-105), and
+decompression divides the same multiplier back out and takes the median
+over rows (rnla.h:160-166). The transform stays LINEAR, so partials
+still ADD. Divergence (documented, same class as phll/pmh/icws): the
+reference draws the exponential from blaze::RNG seeded per element —
+platform-defined mt19937 output with no cross-language bit contract —
+so we derive it by inverse CDF from a wanghash-seeded uniform,
+``-log(u)/p`` with ``u = (wanghash(quot >> 1) + 0.5) / 2^64``: same
+distribution, same determinism guarantee, vectorizable.
+
+The FFT tensor-sketch listed in the reference's own TODO (rnla.h:26-31)
+is not shipped (COVERAGE.md).
 """
 
 from __future__ import annotations
@@ -31,7 +45,7 @@ from typing import Any
 
 import numpy as np
 
-from sketch_spark.hashing import CHUNK, _u64, kwise_coefficients, poly_hash_mersenne
+from sketch_spark.hashing import CHUNK, _u64, kwise_coefficients, poly_hash_mersenne, wanghash
 from sketch_spark.sketches.base import Sketch, register
 
 _U64 = np.uint64
@@ -113,8 +127,11 @@ class CSVector(Sketch):
         idx = _u64(np.asarray(indices))
         est = np.empty((self.ns, len(idx)), dtype=np.float64)
         for j in range(self.ns):
-            bucket, sign = self._bucket_sign(idx, j)
-            est[j] = sign * self.table[j, bucket]
+            bucket, mult = self._bucket_sign(idx, j)
+            # dividing by the multiplier inverts compression exactly: for
+            # the ±1 CountSketch sign, x/±1 == ±1·x bit-for-bit in IEEE,
+            # and for wz it is the rnla.h:163 ``in[...] / gen(rng) · sign``
+            est[j] = self.table[j, bucket] / mult
         return np.median(est, axis=0)
 
     def top_indices(self, olddim: int, k: int, absolute: bool = False) -> tuple[np.ndarray, np.ndarray]:
@@ -150,3 +167,51 @@ class CSVector(Sketch):
     def l2(self) -> float:
         """||x||₂ estimate: median over rows of the row norm."""
         return float(np.sqrt(np.median((self.table**2).sum(axis=1))))
+
+
+@register
+class WZVector(CSVector):
+    """Woodruff–Zhang exponential-sampling CountSketch (wz_compress /
+    wz_decompress, rnla.h:88-174; Transform::WoodruffZhang, rnla.h:16).
+
+    Identical bucket layout and linear merge as ``csvec``; the per-
+    (coordinate, row) multiplier is ``sign · Exp_p(seed)`` instead of
+    ±1, with bucket/sign/seed all derived from one hash exactly as the
+    reference does: ``bucket = h mod d_out``, ``quot = h // d_out``,
+    ``sign = quot & 1``, ``seed = quot >> 1`` (rnla.h:100-105). The
+    exponential amplitude implements the WZ importance-sampling scheme
+    for sublinear lp-moment estimation: large multipliers make rare
+    coordinates visible in some rows while the median over rows keeps
+    single-coordinate recovery robust.
+
+    ``dot``/``l2`` are deliberately unsupported: under Exp multipliers
+    E[mult²] = 2/p² ≠ 1, so the CountSketch inner-product identity does
+    not transfer (the reference offers no wz dot either)."""
+
+    kind = "wzcs"
+
+    def __init__(self, d_out: int = 4096, ns: int = 4, seed: int = 137, p: float = 1.0):
+        if not 0.0 < p <= 1e6:
+            raise ValueError("p (exponential rate) must be in (0, 1e6]")
+        super().__init__(d_out=d_out, ns=ns, seed=seed)
+        self.p = float(p)
+
+    def _params(self) -> dict[str, Any]:
+        return {**super()._params(), "p": self.p}
+
+    def _bucket_sign(self, idx: np.ndarray, row: int) -> tuple[np.ndarray, np.ndarray]:
+        h = poly_hash_mersenne(idx, self._coeffs[row])
+        d = _U64(self.d_out)
+        bucket = (h % d).astype(np.int64)
+        quot = h // d
+        sign = 1.0 - 2.0 * (quot & _U64(1)).astype(np.float64)
+        # deterministic Exp(p) draw by inverse CDF from a wanghash-seeded
+        # uniform in (0,1) — the blaze::RNG(quot >> 1) restatement
+        u = (wanghash(quot >> _U64(1)).astype(np.float64) + 0.5) * 2.0**-64
+        return bucket, sign * (-np.log(u) / self.p)
+
+    def dot(self, other: "CSVector") -> float:
+        raise ValueError("dot is not defined for wzcs (E[mult^2] != 1); use csvec")
+
+    def l2(self) -> float:
+        raise ValueError("l2 is not defined for wzcs (E[mult^2] != 1); use csvec")

@@ -243,7 +243,7 @@ def sketch_by_key(
     filtered build per key. For list/token value columns the row's weight
     applies to each of its tokens. Requires every spec's kind to accept
     ``counts=`` (cms / countsketch / topk / pccm / pmh / icws / ws / csvec /
-    hk / counting_minhash); the same per-kind merge-semantics caveats as
+    wzcs / hk / counting_minhash); the same per-kind merge-semantics caveats as
     the ungrouped weighted build apply.
 
     The output ``key`` column keeps the input column's type (string, any

@@ -34,6 +34,13 @@ PARAM_STRATEGIES = {
         {"l2sz": st.integers(4, 14), "nh": st.integers(1, 6), "nbits": st.integers(2, 8)}
     ),
     "csvec": st.fixed_dictionaries({"d_out": st.integers(2, 4096), "ns": st.integers(1, 8)}),
+    "wzcs": st.fixed_dictionaries(
+        {
+            "d_out": st.integers(2, 4096),
+            "ns": st.integers(1, 8),
+            "p": st.floats(0.1, 10.0, allow_nan=False),
+        }
+    ),
     "phll": st.fixed_dictionaries({"p": st.integers(4, 14)}),
     "pmh": st.fixed_dictionaries({"m": st.integers(1, 512)}),
     "icws": st.fixed_dictionaries({"m": st.integers(1, 512)}),

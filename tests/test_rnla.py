@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from sketch_spark.sketches.base import from_bytes, make_sketch, merge_all
-from sketch_spark.sketches.rnla import CSVector
+from sketch_spark.sketches.rnla import CSVector, WZVector
 
 RNG = np.random.default_rng(11)
 
@@ -84,6 +84,76 @@ def test_signed_updates_and_absolute_topk():
     vals, idx = sk.top_indices(100, 2, absolute=True)
     assert set(idx.tolist()) == {7, 13}
     assert vals[np.argmax(np.abs(vals))] == pytest.approx(-500.0, abs=1.0)
+
+
+def test_wz_heavy_recovery_and_determinism():
+    """WZ exponential-sampling variant (wz_compress/wz_decompress,
+    rnla.h:88-174): planted heavies among unit-weight noise recover by
+    top-k, and two independently-built sketches with the same seed are
+    byte-identical (multipliers are a pure hash function)."""
+    olddim = 200_000
+    heavy_idx = np.arange(10, dtype=np.int64) * 1111
+    heavy_w = np.linspace(5000, 14000, 10)
+    sk = WZVector(d_out=8192, ns=5, p=1.0)
+    sk.update(heavy_idx, counts=heavy_w)
+    noise = RNG.integers(0, olddim, 100_000)
+    sk.update(noise)
+    vals, idx = sk.top_indices(olddim, 10)
+    assert set(idx.tolist()) == set(heavy_idx.tolist())
+    order = np.argsort(idx)
+    assert np.allclose(np.sort(vals[order]), np.sort(heavy_w), rtol=0.05, atol=50)
+    twin = WZVector(d_out=8192, ns=5, p=1.0)
+    twin.update(heavy_idx, counts=heavy_w)
+    twin.update(noise)
+    assert twin.to_bytes() == sk.to_bytes()
+
+
+def test_wz_linearity_partition_merge():
+    """wz stays LINEAR: compressed partials add. Multipliers are
+    irrational, so partitioned vs single-pass agrees to float-sum ULP
+    (documented guarantee level — same class as float-weight csvec)."""
+    vals = np.arange(3000, dtype=np.int64)
+    w_int = RNG.integers(1, 1000, 3000).astype(np.float64)
+    single = WZVector(d_out=4096, ns=4)
+    single.update(vals, counts=w_int)
+    parts = []
+    for sl in (slice(0, 1000), slice(1000, 2222), slice(2222, 3000)):
+        p = WZVector(d_out=4096, ns=4)
+        p.update(vals[sl], counts=w_int[sl])
+        parts.append(p)
+    RNG.shuffle(parts)
+    merged = merge_all(parts)
+    assert np.allclose(merged.table, single.table, rtol=1e-12, atol=1e-9)
+
+
+def test_wz_rate_param_and_unsupported_queries():
+    """p scales the multiplier distribution (state differs), recovery
+    still holds at p != 1; dot/l2 are rejected (E[mult^2] != 1)."""
+    idx = np.arange(200, dtype=np.int64)
+    w = RNG.random(200) * 100 + 10
+    a = WZVector(d_out=2048, ns=7, p=1.0)
+    b = WZVector(d_out=2048, ns=7, p=3.0)
+    a.update(idx, counts=w)
+    b.update(idx, counts=w)
+    assert a.to_bytes() != b.to_bytes()
+    assert np.allclose(np.median(np.abs(b.decompress(idx) - w)), 0.0, atol=5.0)
+    with pytest.raises(ValueError):
+        a.dot(a)
+    with pytest.raises(ValueError):
+        a.l2()
+    with pytest.raises(ValueError):
+        WZVector(p=0.0)
+    with pytest.raises(ValueError):
+        a.merge(WZVector(d_out=2048, ns=7, p=2.0))
+
+
+def test_wz_roundtrip_factory():
+    sk = make_sketch("wzcs", d_out=777, ns=3, p=0.5)
+    sk.update(np.arange(100, dtype=np.int64))
+    r = from_bytes(sk.to_bytes())
+    assert r.to_bytes() == sk.to_bytes()
+    assert isinstance(r, WZVector) and r.p == 0.5
+    np.testing.assert_array_equal(r.decompress(np.arange(100)), sk.decompress(np.arange(100)))
 
 
 def test_roundtrip_params_and_factory():

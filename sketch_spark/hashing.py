@@ -208,6 +208,56 @@ def hash_tokens(values, seed: int = 0) -> np.ndarray:
     return wanghash(v)
 
 
+# ---- XXH3 (64-bit, fixed 8-byte input) --------------------------------------
+# Constants from the PUBLIC xxHash library (BSD-2, Yann Collet), len-4-to-8
+# short-key path: bitflip halves are the default-secret words at offsets 8
+# and 16 (little-endian), PRIME_MX2 is the rrmxmx multiplier. Verified
+# bit-exact against the system libxxhash 0.8.1 (tests/test_hashing.py).
+_XXH3_SECRET_W8 = _U64(0x1CAD21F72C81017C)  # LE64(kSecret + 8)
+_XXH3_SECRET_W16 = _U64(0xDB979083E96DD4DE)  # LE64(kSecret + 16)
+_XXH3_PRIME_MX2 = _U64(0x9FB21C651E98DF25)
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << _U64(r)) | (x >> _U64(64 - r))
+
+
+def xxh3_u64(x, seed=0) -> np.ndarray:
+    """XXH3_64bits_withSeed over one little-endian uint64 — the reference's
+    XXH3PairHasher contract (hash.h:812-820: ``XXH3_64bits_withSeed(&x,
+    sizeof(x), count)``), vectorized. ``seed`` may be a scalar or an array
+    broadcastable against ``x`` (the pair hasher seeds with the occurrence
+    COUNT, so per-element seeds are the hot shape).
+
+    Implements the public XXH3 len-4-to-8 path for len = 8: seed folding
+    ``seed ^= swap32(lo32(seed)) << 32``, input halves swapped into
+    ``input64``, xor with the secret-derived bitflip minus seed, then the
+    rrmxmx avalanche with len = 8. Bit-exact vs libxxhash (golden vectors
+    + ctypes fuzz in the test suite)."""
+    xs = _u64(np.asarray(x))
+    s = np.asarray(seed, dtype=np.uint64)
+    with np.errstate(**_ERRSTATE):
+        # seed ^= XXH_swap32((xxh_u32)seed) << 32
+        lo = s & _U64(0xFFFFFFFF)
+        swapped = (
+            ((lo & _U64(0x000000FF)) << _U64(24))
+            | ((lo & _U64(0x0000FF00)) << _U64(8))
+            | ((lo & _U64(0x00FF0000)) >> _U64(8))
+            | ((lo & _U64(0xFF000000)) >> _U64(24))
+        )
+        s = s ^ (swapped << _U64(32))
+        # input1 = LE32(bytes 0-3) = lo32(x); input2 = LE32(bytes 4-7) = hi32(x)
+        # input64 = input2 + (input1 << 32)  — halves swapped
+        input64 = (xs >> _U64(32)) + ((xs & _U64(0xFFFFFFFF)) << _U64(32))
+        keyed = input64 ^ ((_XXH3_SECRET_W8 ^ _XXH3_SECRET_W16) - s)
+        # XXH3_rrmxmx(keyed, len=8)
+        h = keyed ^ (_rotl64(keyed, 49) ^ _rotl64(keyed, 24))
+        h = h * _XXH3_PRIME_MX2
+        h = h ^ ((h >> _U64(35)) + _U64(8))
+        h = h * _XXH3_PRIME_MX2
+        return h ^ (h >> _U64(28))
+
+
 def hash_strings(values, seed: int = 0) -> np.ndarray:
     """Hash a sequence/array of strings to uint64 via a vectorized FNV-1a
     over the UTF-8 bytes, finalized with WangHash.
@@ -215,6 +265,11 @@ def hash_strings(values, seed: int = 0) -> np.ndarray:
     Strings enter the reference through std::hash (hll.h:820-823); we use
     FNV-1a (public) for cross-platform determinism, computed columnarly on
     the padded byte matrix so there is no per-row Python in the hot path.
+
+    Caveat: the fixed-width ``np.bytes_`` packing strips TRAILING NUL
+    bytes before the length suffix is computed, so strings that differ
+    only by trailing ``"\\x00"`` collide (``"a"`` vs ``"a\\x00"``).
+    Interior NULs are preserved. Irrelevant for real text columns.
     """
     arr = np.asarray(values, dtype=object)
     if arr.size == 0:

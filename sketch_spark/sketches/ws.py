@@ -11,6 +11,10 @@ minhash, SuperMinHash, HLL…) estimates the weighted Jaccard at its usual
 variance. The pair hasher is the reference's default ``WangPairHasher``
 (mult.h:335-342): ``wanghash(x) ^ count`` — bit-exact parity; the base
 sketch re-hashes the pair value on insert just as ``sketch_.addh`` does.
+``pair_hasher="xxh3"`` selects the reference's alternative
+``XXH3PairHasher`` (hash.h:812-820): ``XXH3_64bits_withSeed(&x, 8,
+count)`` — also bit-exact, via the vectorized public-XXH3 short-key
+kernel in ``hashing.xxh3_u64`` (verified against libxxhash).
 
 Counting sketch: the reference defaults to HeavyKeeper (whose merge cannot
 compile there — hk.h:224 typo); we use the mergeable Count-Min sketch,
@@ -37,7 +41,7 @@ from typing import Any
 
 import numpy as np
 
-from sketch_spark.hashing import _u64, wanghash
+from sketch_spark.hashing import _u64, wanghash, xxh3_u64
 from sketch_spark.sketches.base import Sketch, from_bytes, make_sketch, register
 from sketch_spark.sketches.cms import CountMinSketch
 
@@ -56,12 +60,16 @@ class WeightedSketcher(Sketch):
         l2sz: int = 18,
         nh: int = 4,
         seed: int = 137,
+        pair_hasher: str = "wang",
     ):
+        if pair_hasher not in ("wang", "xxh3"):
+            raise ValueError("pair_hasher must be 'wang' or 'xxh3'")
         self.base_kind = str(base_kind)
         self.base_params = dict(base_params or {})
         self.l2sz = int(l2sz)
         self.nh = int(nh)
         self.seed = int(seed)
+        self.pair_hasher = str(pair_hasher)
         self.base = make_sketch(self.base_kind, **self.base_params)
         # decouple the counter's hash family from the base sketch's
         self.counter = CountMinSketch(l2sz=self.l2sz, nh=self.nh, seed=self.seed ^ 0x5CA1AB1E)
@@ -74,6 +82,7 @@ class WeightedSketcher(Sketch):
             "l2sz": self.l2sz,
             "nh": self.nh,
             "seed": self.seed,
+            "pair_hasher": self.pair_hasher,
         }
 
     def _arrays(self) -> dict[str, np.ndarray]:
@@ -113,7 +122,7 @@ class WeightedSketcher(Sketch):
         if len(uniq) == 0:
             return self
         prior = self.counter.query(uniq)
-        base_hash = wanghash(uniq)
+        base_hash = wanghash(uniq) if self.pair_hasher == "wang" else None
         # expand to (item, occurrence) pairs in bounded slabs
         ends = np.cumsum(cnt)
         total = int(ends[-1])
@@ -125,7 +134,12 @@ class WeightedSketcher(Sketch):
             owner = np.searchsorted(ends, pos, side="right")
             occ = pos - starts[owner] + prior[owner] + 1
             with np.errstate(over="ignore"):
-                pairs = base_hash[owner] ^ occ.astype(np.uint64)
+                if self.pair_hasher == "xxh3":
+                    # XXH3PairHasher: hash the RAW item value, occurrence
+                    # count as the xxh3 seed (hash.h:815)
+                    pairs = xxh3_u64(uniq[owner], occ.astype(np.uint64))
+                else:
+                    pairs = base_hash[owner] ^ occ.astype(np.uint64)
             self.base.update(pairs)
         self.counter.update(uniq, counts=cnt)
         return self

@@ -72,6 +72,7 @@ PARAM_STRATEGIES = {
             "base_params": st.just({}),
             "l2sz": st.integers(10, 16),
             "nh": st.integers(1, 4),
+            "pair_hasher": st.sampled_from(["wang", "xxh3"]),
         }
     ),
 }

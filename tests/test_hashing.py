@@ -12,6 +12,7 @@ from sketch_spark.hashing import (
     splitmix64,
     wanghash,
     wanghash_scalar,
+    xxh3_u64,
 )
 
 RNG = np.random.default_rng(42)
@@ -104,3 +105,60 @@ def test_hash_strings_order_is_elementwise():
     a = hash_strings(np.array(["x", "y"]))
     b = hash_strings(np.array(["y", "x"]))
     assert a[0] == b[1] and a[1] == b[0]
+
+
+# ---- XXH3 8-byte short-key kernel (XXH3PairHasher contract) -----------------
+
+# golden vectors generated with the system libxxhash 0.8.1:
+# XXH3_64bits_withSeed(&x, 8, seed) over one little-endian u64
+_XXH3_GOLDEN = [
+    (0x0000000000000000, 0x0000000000000000, 0xC77B3ABB6F87ACD9),
+    (0x0000000000000001, 0x0000000000000000, 0x2FBC593564DB792E),
+    (0x0000000000000000, 0x0000000000000001, 0x9E51AD6D2F3E695C),
+    (0x00000000DEADBEEF, 0x0000000000000003, 0x9C6C19B00F8E5D99),
+    (0xFFFFFFFFFFFFFFFF, 0xFFFFFFFFFFFFFFFF, 0xDA8F77A4D5C399EA),
+    (0x000000000000002A, 0x00000000000003E8, 0x43F720EDA39434B2),
+    (0x0123456789ABCDEF, 0x0000000000ABCDEF, 0xB996D987E25760AE),
+]
+
+
+def test_xxh3_u64_golden_vectors():
+    """Bit-exact vs libxxhash golden vectors (the reference's
+    XXH3PairHasher, hash.h:812-820)."""
+    xs = np.array([g[0] for g in _XXH3_GOLDEN], dtype=np.uint64)
+    ss = np.array([g[1] for g in _XXH3_GOLDEN], dtype=np.uint64)
+    exp = np.array([g[2] for g in _XXH3_GOLDEN], dtype=np.uint64)
+    np.testing.assert_array_equal(xxh3_u64(xs, ss), exp)
+
+
+def test_xxh3_u64_fuzz_vs_system_lib():
+    """10k random (x, seed) pairs vs the real libxxhash via ctypes —
+    skipped where the shared library is absent (golden vectors above
+    still pin the kernel)."""
+    import ctypes
+    import ctypes.util
+    import struct
+
+    import pytest
+
+    name = ctypes.util.find_library("xxhash") or "libxxhash.so.0"
+    try:
+        lib = ctypes.CDLL(name)
+    except OSError:
+        pytest.skip("libxxhash not available")
+    lib.XXH3_64bits_withSeed.restype = ctypes.c_uint64
+    lib.XXH3_64bits_withSeed.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64]
+    rng = np.random.default_rng(17)
+    x = rng.integers(0, 2**64, 10_000, dtype=np.uint64)
+    s = rng.integers(0, 2**64, 10_000, dtype=np.uint64)
+    ref = np.array(
+        [lib.XXH3_64bits_withSeed(struct.pack("<Q", int(a)), 8, int(b)) for a, b in zip(x, s)],
+        dtype=np.uint64,
+    )
+    np.testing.assert_array_equal(xxh3_u64(x, s), ref)
+    # scalar-seed broadcast path
+    ref7 = np.array(
+        [lib.XXH3_64bits_withSeed(struct.pack("<Q", int(a)), 8, 7) for a in x[:500]],
+        dtype=np.uint64,
+    )
+    np.testing.assert_array_equal(xxh3_u64(x[:500], 7), ref7)

@@ -150,3 +150,36 @@ def test_est_count_upper_bounds_truth():
     w.update(vocab, counts=cnt)
     est = w.est_count(vocab)
     assert (est >= cnt).all()  # CMS never underestimates
+
+
+def test_xxh3_pair_hasher_weighted_jaccard():
+    """pair_hasher='xxh3' (XXH3PairHasher, hash.h:812-820): same expanded-
+    set semantics through a different pair hash — exact Σmin/Σmax on an
+    unsaturated bottom-k base, and a different state than 'wang'."""
+    a_items = np.arange(100, dtype=np.int64)
+    a_w = np.arange(1, 101, dtype=np.int64)
+    b_items = np.arange(50, 150, dtype=np.int64)
+    b_w = np.full(100, 60, dtype=np.int64)
+    # exact sums over union
+    wa = {int(i): int(w) for i, w in zip(a_items, a_w)}
+    wb = {int(i): int(w) for i, w in zip(b_items, b_w)}
+    keys = set(wa) | set(wb)
+    smin = sum(min(wa.get(k, 0), wb.get(k, 0)) for k in keys)
+    smax = sum(max(wa.get(k, 0), wb.get(k, 0)) for k in keys)
+    big_k = {"base_params": {"k": 1 << 16}}  # unsaturated: bottom-k is exact
+    sa = WeightedSketcher(pair_hasher="xxh3", **big_k).update(a_items, counts=a_w)
+    sb = WeightedSketcher(pair_hasher="xxh3", **big_k).update(b_items, counts=b_w)
+    assert sa.weighted_jaccard(sb) == pytest.approx(smin / smax, abs=1e-12)
+    sw = WeightedSketcher(pair_hasher="wang", **big_k).update(a_items, counts=a_w)
+    assert sw.to_bytes() != sa.to_bytes()
+
+
+def test_xxh3_pair_hasher_roundtrip_and_merge_guard():
+    sk = make_sketch("ws", pair_hasher="xxh3", l2sz=12)
+    sk.update(np.arange(50, dtype=np.int64), counts=np.full(50, 3))
+    r = from_bytes(sk.to_bytes())
+    assert r.pair_hasher == "xxh3" and r.to_bytes() == sk.to_bytes()
+    with pytest.raises(ValueError):
+        sk.merge(make_sketch("ws", pair_hasher="wang", l2sz=12))
+    with pytest.raises(ValueError):
+        WeightedSketcher(pair_hasher="nope")

@@ -56,15 +56,18 @@ specs = [
     SketchSpec("mh", "minhash", "tokens", {{"k": 1024}}),
 ]
 build_sketches_from_parquet(spark, tok_dir, specs)  # warm-up: workers, page cache
-times = []
+times, loads = [], []
 for _ in range({repeat}):
+    la0 = os.getloadavg()[0]
     t0 = time.perf_counter()
     sk = build_sketches_from_parquet(spark, tok_dir, specs)
     times.append(time.perf_counter() - t0)
+    loads.append([round(la0, 2), round(os.getloadavg()[0], 2)])
 assert sk["cms"].total() == n_tokens
 best = min(times)
 print("RESULT " + json.dumps({{"cores": cores, "sec": best, "n_tokens": int(n_tokens),
-                               "tokens_per_sec": n_tokens / best, "times": times}}))
+                               "tokens_per_sec": n_tokens / best, "times": times,
+                               "loadavg": loads}}))
 spark.stop()
 """
 

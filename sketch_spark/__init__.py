@@ -59,6 +59,7 @@ from sketch_spark.spark import (  # noqa: F401
     partition_states,
     quantile_udf,
     sketch_by_key,
+    sketch_by_key_from_parquet,
     tree_merge_states,
 )
 

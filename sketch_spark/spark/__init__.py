@@ -9,5 +9,5 @@ from sketch_spark.spark.agg import (  # noqa: F401
     tree_merge_states,
 )
 from sketch_spark.spark.session import get_spark  # noqa: F401
-from sketch_spark.spark.files import build_sketches_from_parquet, list_parquet_files  # noqa: F401
+from sketch_spark.spark.files import build_sketches_from_parquet, list_parquet_files, sketch_by_key_from_parquet  # noqa: F401
 from sketch_spark.spark.filterhll import threshold_distinct, threshold_distinct_sketch  # noqa: F401

@@ -254,66 +254,106 @@ def sketch_by_key(
     key_type = dict(df.dtypes)[key]
 
     def partial(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        acc: dict[tuple[Any, str], Sketch] = {}
-        key_arrow_type = None
-        for batch in batches:
-            karr = batch.column(batch.schema.get_field_index(key))
-            key_arrow_type = karr.type
-            # Arrow dictionary-encode keeps the native type (to_pandas would
-            # promote nullable ints to float64) — no silent stringification
-            # of numeric/date keys; null keys get their own trailing group
-            denc = karr.dictionary_encode()
-            uniq = denc.dictionary.to_pylist()
-            if denc.indices.null_count:
-                inv = denc.indices.fill_null(len(uniq)).to_numpy(zero_copy_only=False).astype(np.int64)
-                uniq = uniq + [None]
-            else:
-                inv = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            wrow = (
-                _extract_column(batch, weight_col, want_float=True)
-                if weight_col is not None
-                else None
-            )
-            for name, kind, col, params, want_float in spec_list:
-                arr = batch.column(batch.schema.get_field_index(col))
-                is_list = pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
-                vals = _extract_column(batch, col, want_float)
-                if is_list:
-                    # repeat each row's group id (and weight) over its tokens
-                    lens = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
-                    vinv = np.repeat(inv, lens)
-                    wv = np.repeat(wrow, lens) if wrow is not None else None
-                else:
-                    vinv = inv
-                    wv = wrow
-                order = np.argsort(vinv, kind="stable")
-                sv, so = vals[order], vinv[order]
-                sw = wv[order] if wv is not None else None
-                bounds = np.searchsorted(so, np.arange(len(uniq) + 1))
-                for gi, kval in enumerate(uniq):
-                    seg = sv[bounds[gi] : bounds[gi + 1]]
-                    if len(seg) == 0:
-                        continue
-                    sk = acc.get((kval, name))
-                    if sk is None:
-                        sk = acc[(kval, name)] = make_sketch(kind, **params)
-                    if sw is None:
-                        sk.update(seg)
-                    else:
-                        sk.update(seg, counts=sw[bounds[gi] : bounds[gi + 1]])
-        if acc:
-            items = sorted(acc.items(), key=lambda kv: (repr(kv[0][0]), kv[0][1]))
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array([k for (k, _), _ in items], key_arrow_type),
-                    pa.array([n for (_, n), _ in items], pa.string()),
-                    pa.array([s.to_bytes() for _, s in items], pa.binary()),
-                ],
-                names=[key, "name", "state"],
-            )
+        return _keyed_partial(batches, key, spec_list, weight_col)
 
     cols = sorted({s.col for s in specs} | {key} | ({weight_col} if weight_col else set()))
     partials = df.select(*cols).mapInArrow(partial, f"{key} {key_type}, name string, state binary")
+
+    return merge_keyed_states(partials, key, key_type)
+
+
+def _keyed_partial(
+    batches: Iterator[pa.RecordBatch], key: str, spec_list: list[tuple], weight_col: str | None
+) -> Iterator[pa.RecordBatch]:
+    """Shared map-side combine for grouped builds: fold an Arrow batch
+    stream into one sketch per (key value, spec) and emit a single
+    (key, name, state) batch — used by both the DataFrame path
+    (:func:`sketch_by_key`) and the parquet-direct path
+    (:func:`sketch_spark.spark.files.sketch_by_key_from_parquet`)."""
+    acc: dict[tuple[Any, str], Sketch] = {}
+    key_arrow_type = None
+    for batch in batches:
+        karr = batch.column(batch.schema.get_field_index(key))
+        key_arrow_type = karr.type
+        # Arrow dictionary-encode keeps the native type (to_pandas would
+        # promote nullable ints to float64) — no silent stringification
+        # of numeric/date keys; null keys get their own trailing group
+        denc = karr.dictionary_encode()
+        uniq = denc.dictionary.to_pylist()
+        if denc.indices.null_count:
+            inv = denc.indices.fill_null(len(uniq)).to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq = uniq + [None]
+        else:
+            inv = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        wrow = (
+            _extract_column(batch, weight_col, want_float=True)
+            if weight_col is not None
+            else None
+        )
+        for name, kind, col, params, want_float in spec_list:
+            arr = batch.column(batch.schema.get_field_index(col))
+            is_list = pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+            vals = _extract_column(batch, col, want_float)
+            if is_list:
+                # repeat each row's group id (and weight) over its tokens
+                lens = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+                vinv = np.repeat(inv, lens)
+                wv = np.repeat(wrow, lens) if wrow is not None else None
+            else:
+                vinv = inv
+                wv = wrow
+            # group-segment extraction, cardinality-aware: a stable argsort
+            # over millions of near-constant group ids is its own worst case
+            # (measured 7.6 s vs 0.35 s for 10M values / 4 keys), and few-key
+            # tables (source, event_type, language…) are the hot grouped
+            # shape — so low cardinality takes one boolean mask per key and
+            # only high cardinality pays the sort
+            nu = len(uniq)
+            if nu == 1:
+                segments = [(0, vals, wv)]
+            elif nu <= 64:
+                segments = [
+                    (gi, vals[m], (wv[m] if wv is not None else None))
+                    for gi in range(nu)
+                    for m in (vinv == gi,)
+                ]
+            else:
+                order = np.argsort(vinv, kind="stable")
+                sv, so = vals[order], vinv[order]
+                sw = wv[order] if wv is not None else None
+                bounds = np.searchsorted(so, np.arange(nu + 1))
+                segments = [
+                    (gi, sv[bounds[gi] : bounds[gi + 1]],
+                     (sw[bounds[gi] : bounds[gi + 1]] if sw is not None else None))
+                    for gi in range(nu)
+                ]
+            for gi, seg, segw in segments:
+                if len(seg) == 0:
+                    continue
+                kval = uniq[gi]
+                sk = acc.get((kval, name))
+                if sk is None:
+                    sk = acc[(kval, name)] = make_sketch(kind, **params)
+                if segw is None:
+                    sk.update(seg)
+                else:
+                    sk.update(seg, counts=segw)
+    if acc:
+        items = sorted(acc.items(), key=lambda kv: (repr(kv[0][0]), kv[0][1]))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([k for (k, _), _ in items], key_arrow_type),
+                pa.array([n for (_, n), _ in items], pa.string()),
+                pa.array([s.to_bytes() for _, s in items], pa.binary()),
+            ],
+            names=[key, "name", "state"],
+        )
+
+
+def merge_keyed_states(partials: DataFrame, key: str, key_type: str) -> DataFrame:
+    """Phase 2 of a grouped build: groupBy(key, name) reduce-merge of the
+    (key, name, state) partials — one tiny shuffle of kilobyte states. The
+    output key column keeps ``key_type`` (no silent stringification)."""
 
     def final_merge(pdf):
         sk = from_bytes(bytes(pdf["state"].iloc[0]))

@@ -108,3 +108,82 @@ def test_plan_units_whole_files_when_many(tmp_path):
     fs = [f"/x/{i}.parquet" for i in range(64)]
     units = _plan_units(fs, target=32)
     assert units == [(f, None, None) for f in fs]
+
+
+def test_list_parquet_files_accepts_single_file(fixtures):
+    """Driver tables are single parquet FILES, not directories — a bare
+    file path must work everywhere a directory does."""
+    d, _ = fixtures
+    path = os.path.join(d, "uniform")
+    one = list_parquet_files(path)[0]
+    assert list_parquet_files(one) == [one]
+
+
+def test_grouped_parquet_direct_matches_dataframe_path(spark, fixtures):
+    """sketch_by_key_from_parquet == sketch_by_key: byte parity per key for
+    partitioning-invariant kinds, estimate parity for KLL; key column
+    keeps its native type."""
+    from sketch_spark.sketches.base import from_bytes
+    from sketch_spark.spark.agg import sketch_by_key
+    from sketch_spark.spark.files import sketch_by_key_from_parquet
+
+    d, _ = fixtures
+    path = os.path.join(d, "uniform")
+    specs = [
+        SketchSpec("h", "hll", "tokens", {"p": 12}),
+        SketchSpec("k", "kll", "n_tok", {"k": 200}),
+    ]
+    via_df = {
+        (r["source"], r["name"]): bytes(r["state"])
+        for r in sketch_by_key(spark.read.parquet(path), "source", specs).collect()
+    }
+    out = sketch_by_key_from_parquet(spark, path, "source", specs)
+    assert dict(out.dtypes)["source"] == "string"
+    via_files = {(r["source"], r["name"]): bytes(r["state"]) for r in out.collect()}
+    assert set(via_df) == set(via_files)
+    for key, blob in via_files.items():
+        if key[1] == "h":
+            assert blob == via_df[key]
+        else:  # kll: batch-boundary dependent → estimate parity
+            a, b = from_bytes(blob), from_bytes(via_df[key])
+            assert a.n == b.n
+            assert abs(float(a.quantile(0.5)) - float(b.quantile(0.5))) <= 6
+
+
+def test_grouped_parquet_direct_weighted(spark, fixtures):
+    """weight_col rides through the parquet-direct grouped path: per-key CMS
+    totals equal the exact per-key weighted sums."""
+    from sketch_spark.sketches.base import from_bytes
+    from sketch_spark.spark.files import sketch_by_key_from_parquet
+
+    d, _ = fixtures
+    path = os.path.join(d, "uniform")
+    out = sketch_by_key_from_parquet(
+        spark, path, "source",
+        [SketchSpec("c", "cms", "doc_id", {"l2sz": 14, "nh": 4})],
+        weight_col="n_tok",
+    ).collect()
+    exact = {
+        r["source"]: r["s"]
+        for r in spark.read.parquet(path).groupBy("source").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    got = {r["source"]: from_bytes(bytes(r["state"])).total() for r in out}
+    assert got == pytest.approx(exact)
+
+
+def test_grouped_parquet_direct_int_key_and_bad_key(spark, fixtures):
+    """Numeric group keys keep their native type; unsupported arrow key
+    types fail fast driver-side."""
+    from sketch_spark.spark.files import sketch_by_key_from_parquet
+
+    d, _ = fixtures
+    path = os.path.join(d, "uniform")
+    out = sketch_by_key_from_parquet(
+        spark, path, "n_tok", [SketchSpec("h", "hll", "doc_id", {"p": 10})]
+    )
+    assert dict(out.dtypes)["n_tok"] in ("int", "bigint")
+    assert out.count() > 0
+    with pytest.raises(ValueError, match="unsupported group-key arrow type"):
+        sketch_by_key_from_parquet(
+            spark, path, "tokens", [SketchSpec("h", "hll", "doc_id", {"p": 10})]
+        )

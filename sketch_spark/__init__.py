@@ -43,6 +43,7 @@ from sketch_spark.sketches import (  # noqa: F401
     SampledMultiplicity,
     SuperMinHash,
     TDigest,
+    TensorSketch,
     VACSketch,
     WeightedSketcher,
     WZVector,

@@ -279,3 +279,70 @@ def compress_embeddings(
             )
 
     return df.mapInArrow(run, f"{id_col} long, {vec_col} array<float>")
+
+
+def tensor_moments_by_key(
+    df: DataFrame,
+    key: str,
+    d: int,
+    vec_col: str = "embedding",
+    d_out: int = 4096,
+    degree: int = 2,
+    ns: int = 4,
+    seed: int = 101,
+    name: str = "ts",
+) -> DataFrame:
+    """Per-key tensor-moment sketches: one ``tensorsketch`` state per key
+    value, accumulating ``ts(Σᵢ xᵢ^⊗degree)`` over that key's embedding
+    rows (Pham & Pagh FFT tensor sketch — the reference's rnla.h:26-31
+    TODO, working in sketches/rnla.py).
+
+    Same two-phase shape as ``sketch_by_key``: map-side per-key partials
+    built batch-vectorized in NumPy (one BLAS matmul + FFT set per batch,
+    no per-row Python), then ONE shuffle of kilobyte states merged by
+    linearity. The result answers polynomial-kernel Gram energies between
+    any two keys (``ts_a.dot(ts_b) ≈ Σᵢⱼ⟨xᵢ,yⱼ⟩^degree``) without ever
+    materializing a pairwise join — the 100 TB shape for cross-corpus
+    second-moment comparison."""
+    from sketch_spark.sketches.rnla import TensorSketch
+    from sketch_spark.spark.agg import merge_keyed_states
+
+    key_type = dict(df.dtypes)[key]
+
+    def partial(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc: dict = {}
+        key_arrow_type = None
+        for batch in batches:
+            karr = batch.column(batch.schema.get_field_index(key))
+            key_arrow_type = karr.type
+            denc = karr.dictionary_encode()
+            uniq = denc.dictionary.to_pylist()
+            inv = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _batch_matrix(batch.column(batch.schema.get_field_index(vec_col)))
+            if m.shape[0] == 0:
+                continue
+            for gi, kval in enumerate(uniq):
+                rows = m[inv == gi]
+                if len(rows) == 0:
+                    continue
+                sk = acc.get(kval)
+                if sk is None:
+                    sk = acc[kval] = TensorSketch(
+                        d=d, d_out=d_out, degree=degree, ns=ns, seed=seed
+                    )
+                sk.update(rows.astype(np.float64))
+        if acc:
+            items = sorted(acc.items(), key=lambda kv: repr(kv[0]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([k for k, _ in items], key_arrow_type),
+                    pa.array([name] * len(items), pa.string()),
+                    pa.array([s.to_bytes() for _, s in items], pa.binary()),
+                ],
+                names=[key, "name", "state"],
+            )
+
+    partials = df.select(key, vec_col).mapInArrow(
+        partial, f"{key} {key_type}, name string, state binary"
+    )
+    return merge_keyed_states(partials, key, key_type)

@@ -20,7 +20,7 @@ from sketch_spark.sketches.minhash import (  # noqa: F401
 from sketch_spark.sketches.mult import SampledMultiplicity  # noqa: F401
 from sketch_spark.sketches.phll import PackedHLL  # noqa: F401
 from sketch_spark.sketches.pmh import PMinHash  # noqa: F401
-from sketch_spark.sketches.rnla import CSVector, WZVector  # noqa: F401
+from sketch_spark.sketches.rnla import CSVector, TensorSketch, WZVector  # noqa: F401
 from sketch_spark.sketches.smh import SuperMinHash  # noqa: F401
 from sketch_spark.sketches.tdigest import TDigest  # noqa: F401
 from sketch_spark.sketches.vac import VACSketch  # noqa: F401

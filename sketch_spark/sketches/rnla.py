@@ -35,8 +35,18 @@ so we derive it by inverse CDF from a wanghash-seeded uniform,
 ``-log(u)/p`` with ``u = (wanghash(quot >> 1) + 0.5) / 2^64``: same
 distribution, same determinism guarantee, vectorizable.
 
-The FFT tensor-sketch listed in the reference's own TODO (rnla.h:26-31)
-is not shipped (COVERAGE.md).
+``TensorSketch`` (kind ``tensorsketch``) is the FFT tensor sketch the
+reference lists in its own TODO and never implements (rnla.h:26-31:
+"FFT and IFFT for tensor sketch" / "Tensor sketch: see fast polynomial
+kernels"). We ship the published algorithm (Pham & Pagh, KDD'13; Pagh,
+TOCT'13): the degree-q sketch of ``x ⊗ x ⊗ … ⊗ x`` is the circular
+convolution of q independent CountSketches of x, computed in
+O(q·d_out·log d_out) via rfft/irfft. The transform is LINEAR in the
+outer-product tensor, so accumulated sketches of row sets merge by
+elementwise addition — ``ts(Σᵢ xᵢ^⊗q)`` is a mergeable monoid, and
+``a.dot(b)`` estimates the Frobenius inner product of the two
+accumulated moment tensors, ``Σᵢⱼ ⟨xᵢ, yⱼ⟩^q`` (the polynomial-kernel
+Gram energy no single machine ever materializes).
 """
 
 from __future__ import annotations
@@ -215,3 +225,118 @@ class WZVector(CSVector):
 
     def l2(self) -> float:
         raise ValueError("l2 is not defined for wzcs (E[mult^2] != 1); use csvec")
+
+
+@register
+class TensorSketch(Sketch):
+    """FFT tensor sketch (Pham & Pagh, KDD'13) — the reference's own TODO
+    (rnla.h:26-31), shipped working here.
+
+    For input vectors of fixed dimension ``d``, each of ``ns`` independent
+    repetitions holds ``degree`` CountSketches (bucket/sign from one 4-wise
+    polynomial hash each, the rnla.h:47-49 derivation); the degree-q sketch
+    of one vector is ``irfft(∏ₜ rfft(CSₜ(x)))`` — circular convolution of
+    the q CountSketches, which equals CountSketch of the order-q outer
+    product x^⊗q under the combined hash. ``update`` accumulates the
+    (optionally weighted) SUM of per-row sketches, so the state represents
+    ``ts(Σᵢ wᵢ·xᵢ^⊗q)``; linearity makes ``merge`` elementwise addition
+    and any partitioning exact up to float summation order (same class as
+    csvec). ``dot`` takes the median over repetitions of the rowwise inner
+    product — an unbiased estimate of ``Σᵢⱼ wᵢwⱼ'⟨xᵢ, xⱼ'⟩^q`` per row,
+    with per-row variance ≲ (2+3^q)/d_out · (Σᵢⱼ ⟨xᵢ,xⱼ'⟩^q + ΠΣ‖·‖^q
+    cross-terms) (Pham & Pagh Lemma 7's two-vector bound, summed
+    bilinearly)."""
+
+    kind = "tensorsketch"
+
+    def __init__(self, d: int = 64, d_out: int = 4096, degree: int = 2, ns: int = 4, seed: int = 101):
+        if not 1 <= d <= (1 << 20):
+            raise ValueError("d (input dimension) must be in [1, 2^20]")
+        if not 2 <= d_out <= (1 << 22):
+            raise ValueError("d_out must be in [2, 2^22]")
+        if not 1 <= degree <= 8:
+            raise ValueError("degree must be in [1, 8]")
+        if not 1 <= ns <= 16:
+            raise ValueError("ns must be in [1, 16]")
+        self.d = int(d)
+        self.d_out = int(d_out)
+        self.degree = int(degree)
+        self.ns = int(ns)
+        self.seed = int(seed)
+        # one 4-wise polynomial per (repetition, factor) — factors must be
+        # mutually independent for the convolution identity to hold
+        coeffs = kwise_coefficients(4, self.ns * self.degree, self.seed)
+        idx = np.arange(self.d, dtype=np.uint64)
+        # dense projection matrices P[j,t] : (d, d_out) with
+        # P[i, bucket(i)] = sign(i); CSₜ(X) is then one BLAS matmul X @ P.
+        # Derived from seed, so rebuilt (not serialized) on _from_state.
+        self._proj = np.zeros((self.ns, self.degree, self.d, self.d_out), dtype=np.float64)
+        for j in range(self.ns):
+            for t in range(self.degree):
+                h = poly_hash_mersenne(idx, coeffs[j * self.degree + t])
+                bucket = ((h >> _U64(1)) % _U64(self.d_out)).astype(np.int64)
+                sign = 1.0 - 2.0 * (h & _U64(1)).astype(np.float64)
+                self._proj[j, t, np.arange(self.d), bucket] = sign
+        self.table = np.zeros((self.ns, self.d_out), dtype=np.float64)
+
+    # ---- state ------------------------------------------------------------
+    def _params(self) -> dict[str, Any]:
+        return {
+            "d": self.d,
+            "d_out": self.d_out,
+            "degree": self.degree,
+            "ns": self.ns,
+            "seed": self.seed,
+        }
+
+    def _arrays(self) -> dict[str, np.ndarray]:
+        return {"table": self.table}
+
+    @classmethod
+    def _from_state(cls, params, arrays) -> "TensorSketch":
+        obj = cls(**params)
+        obj.table = arrays["table"].astype(np.float64).reshape(obj.ns, obj.d_out)
+        return obj
+
+    # ---- monoid ops --------------------------------------------------------
+    def update(self, values: np.ndarray, counts: np.ndarray | None = None) -> "TensorSketch":
+        """Absorb a batch of vectors: ``values`` is (n, d) — or (d,) for a
+        single vector — and ``counts`` optional per-vector weights. Adds
+        ``Σᵢ wᵢ · ts(xᵢ^⊗q)`` to the accumulator."""
+        X = np.asarray(values, dtype=np.float64)
+        if X.ndim == 1:
+            X = X[None, :]
+        if X.ndim != 2 or X.shape[1] != self.d:
+            raise ValueError(f"expected (n, {self.d}) vectors, got shape {X.shape}")
+        if len(X) == 0:
+            return self
+        w = None if counts is None else np.asarray(counts, dtype=np.float64)
+        for j in range(self.ns):
+            # ∏ₜ rfft(X @ Pₜ) then irfft = per-row circular convolution
+            prod = np.fft.rfft(X @ self._proj[j, 0], axis=1)
+            for t in range(1, self.degree):
+                prod *= np.fft.rfft(X @ self._proj[j, t], axis=1)
+            rows = np.fft.irfft(prod, n=self.d_out, axis=1)
+            self.table[j] += rows.sum(axis=0) if w is None else w @ rows
+        return self
+
+    def merge(self, other: "TensorSketch") -> "TensorSketch":
+        """Linearity: accumulated tensor-moment sketches add. Guarantee
+        level matches csvec: float64 summation order differs across
+        partitionings, so tables agree to ULP, not bit-for-bit."""
+        self._check_mergeable(other)
+        self.table += other.table
+        return self
+
+    # ---- queries -----------------------------------------------------------
+    def dot(self, other: "TensorSketch") -> float:
+        """Median over repetitions of ⟨rowⱼ(self), rowⱼ(other)⟩ — the
+        polynomial-kernel Gram energy ``Σᵢⱼ wᵢwⱼ'⟨xᵢ, yⱼ⟩^q`` between the
+        two accumulated vector sets."""
+        self._check_mergeable(other)
+        return float(np.median((self.table * other.table).sum(axis=1)))
+
+    def frobenius_energy(self) -> float:
+        """Self inner product: ``Σᵢⱼ wᵢwⱼ⟨xᵢ, xⱼ⟩^q`` — for q=2 this is
+        ‖Σᵢ wᵢ xᵢxᵢᵀ‖²_F, the second-moment Frobenius energy."""
+        return float(np.median((self.table**2).sum(axis=1)))

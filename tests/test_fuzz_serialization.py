@@ -66,6 +66,14 @@ PARAM_STRATEGIES = {
     "realccm": st.fixed_dictionaries(
         {"l2sz": st.integers(4, 14), "nh": st.integers(1, 6), "gamma": st.floats(0.5, 1.0)}
     ),
+    "tensorsketch": st.fixed_dictionaries(
+        {
+            "d": st.integers(1, 64),
+            "d_out": st.integers(2, 1024),
+            "degree": st.integers(1, 4),
+            "ns": st.integers(1, 6),
+        }
+    ),
     "ws": st.fixed_dictionaries(
         {
             "base_kind": st.sampled_from(["minhash", "bbmh", "smh"]),
@@ -90,7 +98,11 @@ def test_roundtrip_and_resume(kind, data):
     seed = data.draw(st.integers(0, 2**31))
     n = data.draw(st.integers(0, 5000))
     rng = np.random.default_rng(seed)
-    if kind in ("kll", "tdigest"):
+    if kind == "tensorsketch":
+        # vector-set sketch: (n, d) float matrices, not 1-D streams
+        vals = rng.normal(size=(min(n, 64), params["d"]))
+        more = rng.normal(size=(8, params["d"]))
+    elif kind in ("kll", "tdigest"):
         vals = rng.lognormal(0, 2, n)
         more = rng.lognormal(1, 1, 100)
     else:

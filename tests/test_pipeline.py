@@ -541,6 +541,33 @@ def test_embedding_hot_bucket_guard_linear(spark):
     assert got.count() == n - 1  # star: every non-min pairs once with the hub
 
 
+def test_tensor_moments_by_key_matches_local(spark, emb_df):
+    """Distributed per-label tensor-moment sketches == a local single-pass
+    build per label (merge linearity through the two-phase Spark path),
+    and the estimated cross-label Gram energy tracks the exact
+    Σᵢⱼ⟨xᵢ,yⱼ⟩² within the collision envelope."""
+    from sketch_spark.pipeline.similarity import tensor_moments_by_key
+    from sketch_spark.sketches.base import from_bytes
+    from sketch_spark.sketches.rnla import TensorSketch
+
+    out = tensor_moments_by_key(
+        emb_df.repartition(8), "label", d=64, d_out=2048, degree=2, ns=4, seed=11
+    )
+    assert dict(out.dtypes)["label"] == "int"
+    states = {r["label"]: from_bytes(bytes(r["state"])) for r in out.collect()}
+    rows = emb_df.collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    assert set(states) == set(by_label)
+    X0 = np.array(by_label[0], dtype=np.float64)
+    local0 = TensorSketch(d=64, d_out=2048, degree=2, ns=4, seed=11).update(X0)
+    assert np.allclose(states[0].table, local0.table, rtol=1e-9, atol=1e-9)
+    X1 = np.array(by_label[1], dtype=np.float64)
+    exact = float(((X0 @ X1.T) ** 2).sum())
+    assert states[0].dot(states[1]) == pytest.approx(exact, rel=0.25)
+
+
 def test_decoder_backend_dispatch(spark):
     """The decode swap point dispatches on Pillow availability: whichever
     backend is active must drive extract_features end-to-end. In this

@@ -168,3 +168,86 @@ def test_roundtrip_params_and_factory():
         CSVector(d_out=1024, ns=0)
     with pytest.raises(ValueError):
         CSVector(d_out=1024).merge(CSVector(d_out=2048))
+
+
+# ---------------------------------------------------------------------------
+# TensorSketch (Pham & Pagh KDD'13) — the FFT tensor sketch of the
+# reference's own TODO (rnla.h:26-31), shipped working.
+# ---------------------------------------------------------------------------
+
+
+def test_tensorsketch_gram_energy_accuracy():
+    """<ts(A), ts(B)> estimates the degree-2 Gram energy
+    sum_ij <x_i, y_j>^2 = ||X Y^T||_F^2 within the collision-noise
+    envelope (deterministic: seeded hashes, fixed data)."""
+    rng = np.random.default_rng(3)
+    X, Y = rng.normal(size=(40, 64)), rng.normal(size=(30, 64))
+    exact = float(((X @ Y.T) ** 2).sum())
+    a = make_sketch("tensorsketch", d=64, d_out=4096, degree=2, ns=6).update(X)
+    b = make_sketch("tensorsketch", d=64, d_out=4096, degree=2, ns=6).update(Y)
+    assert a.dot(b) == pytest.approx(exact, rel=0.05)
+    # self energy: ||X X^T||_F^2
+    assert a.frobenius_energy() == pytest.approx(float(((X @ X.T) ** 2).sum()), rel=0.05)
+
+
+def test_tensorsketch_degree1_is_countsketch_dot():
+    """degree=1 collapses the convolution: the sketch is one CountSketch
+    and dot estimates the plain inner product of the summed vectors."""
+    rng = np.random.default_rng(5)
+    x, y = rng.normal(size=64), rng.normal(size=64)
+    a = make_sketch("tensorsketch", d=64, d_out=2048, degree=1, ns=7).update(x)
+    b = make_sketch("tensorsketch", d=64, d_out=2048, degree=1, ns=7).update(y)
+    assert a.dot(b) == pytest.approx(float(x @ y), abs=0.15 * 64**0.5)
+
+
+def test_tensorsketch_degree3_kernel():
+    """Cubic kernel: planted strongly-aligned pair dominates, estimate
+    tracks sum_ij <x_i,y_j>^3 within envelope."""
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=64)
+    X = np.vstack([base + 0.05 * rng.normal(size=64) for _ in range(5)])
+    Y = np.vstack([base + 0.05 * rng.normal(size=64) for _ in range(5)])
+    exact = float(((X @ Y.T) ** 3).sum())
+    a = make_sketch("tensorsketch", d=64, d_out=8192, degree=3, ns=7).update(X)
+    b = make_sketch("tensorsketch", d=64, d_out=8192, degree=3, ns=7).update(Y)
+    assert a.dot(b) == pytest.approx(exact, rel=0.1)
+
+
+def test_tensorsketch_linearity_partition_merge():
+    """Any partitioning of the row set merges to the single-pass table up
+    to float summation order (ULP) — the distributed contract; weighted
+    rows ride through the same identity."""
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(48, 32))
+    w = rng.uniform(0.5, 2.0, size=48)
+    full = make_sketch("tensorsketch", d=32, d_out=1024, degree=2, ns=4).update(X, counts=w)
+    parts = [
+        make_sketch("tensorsketch", d=32, d_out=1024, degree=2, ns=4).update(
+            X[lo:hi], counts=w[lo:hi]
+        )
+        for lo, hi in ((0, 7), (7, 20), (20, 48))
+    ]
+    merged = merge_all(parts)
+    assert np.allclose(merged.table, full.table, rtol=1e-12, atol=1e-12)
+    # weighted exact identity: integer weights, exact bilinear expansion
+    wi = np.ones(48)
+    fa = make_sketch("tensorsketch", d=32, d_out=4096, degree=2, ns=6, seed=3).update(X, counts=wi)
+    exact = float(((X @ X.T) ** 2).sum())
+    assert fa.frobenius_energy() == pytest.approx(exact, rel=0.05)
+
+
+def test_tensorsketch_roundtrip_guards_and_params():
+    sk = make_sketch("tensorsketch", d=16, d_out=256, degree=2, ns=3, seed=42)
+    sk.update(np.eye(16)[:4])
+    rt = from_bytes(sk.to_bytes())
+    assert rt.to_bytes() == sk.to_bytes()
+    other = make_sketch("tensorsketch", d=16, d_out=256, degree=2, ns=3, seed=43)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        sk.merge(other)
+    with pytest.raises(ValueError, match="expected"):
+        sk.update(np.zeros((2, 17)))
+    for bad in (
+        {"d": 0}, {"d_out": 1}, {"degree": 0}, {"degree": 9}, {"ns": 0}, {"ns": 17},
+    ):
+        with pytest.raises(ValueError):
+            make_sketch("tensorsketch", **bad)

@@ -116,6 +116,39 @@ def q_hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_by_key_parquet_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 grouped parquet-direct path
+    (spark/files.py::sketch_by_key_from_parquet): same two-phase grouped
+    build as sketch_by_key — map-side per-key partials, ONE shuffle of
+    kilobyte states — but phase 1 reads the parquet columns with pyarrow
+    inside each Spark file task (no JVM row→Arrow exchange). States are
+    byte-identical to the DataFrame path (regression-tested in
+    tests/test_files_path.py); this row drives the path through the
+    driver gate with the same exact-vs-bound contract as
+    hll_distinct_users_by_type."""
+    from sketch_spark.spark.files import sketch_by_key_from_parquet
+
+    ev = _t(spark, sf_dir, "events")
+    states = sketch_by_key_from_parquet(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        "event_type",
+        [SketchSpec("h", "hll", "user_id", {"p": 14})],
+    )
+    est = states.withColumn("est", estimate_udf()(F.col("state"))).select("event_type", "est")
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_distinct"))
+    bound = 3.0 * 1.03896 / np.sqrt(1 << 14)
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            (F.abs(F.col("est") - F.col("exact_distinct")) <= F.lit(bound) * F.col("exact_distinct")).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window (daily) distinct users via per-window HLL states —
     the time-windowed rollup shape (sketch states keyed by window start can
@@ -1620,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_parts": q_hll_distinct_parts,
         "dhll_distinct_parts": q_dhll_distinct_parts,
         "hll_distinct_users_by_type": q_hll_distinct_users_by_type,
+        "hll_by_key_parquet_direct": q_hll_by_key_parquet_direct,
         "hll_daily_users": q_hll_daily_users,
         "cms_top_parts": q_cms_top_parts,
         "bloom_orders_membership": q_bloom_orders_membership,
@@ -1686,6 +1720,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(DISTINCT l_partkey) AS exact_distinct, TRUE AS within_bound FROM lineitem"
         ),
         "hll_distinct_users_by_type": (
+            "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, TRUE AS within_bound "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "hll_by_key_parquet_direct": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, TRUE AS within_bound "
             "FROM events GROUP BY event_type ORDER BY event_type"
         ),

@@ -69,14 +69,16 @@ def main(argv: list[str] | None = None) -> int:
 
     from sketch_spark.spark.agg import build_sketches, sketch_by_key
     from sketch_spark.spark.checkpoint import checkpointed_build
-    from sketch_spark.spark.files import build_sketches_from_parquet
+    from sketch_spark.spark.files import build_sketches_from_parquet, sketch_by_key_from_parquet
 
     specs = [parse_sketch(s, args.col) for s in args.sketch]
     t0 = time.time()
 
     if args.group_by:
-        df = spark.read.parquet(args.input)
-        states = sketch_by_key(df, args.group_by, specs)
+        if args.direct:
+            states = sketch_by_key_from_parquet(spark, args.input, args.group_by, specs)
+        else:
+            states = sketch_by_key(spark.read.parquet(args.input), args.group_by, specs)
         if args.output:
             states.write.mode("overwrite").parquet(args.output)
         n = states.count()

@@ -218,3 +218,25 @@ def test_connected_components_joins_are_equi_joins(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grouped_builds_shuffle_once_states_only(spark, sf_dir):
+    """Phase 2 of every grouped build (merge_keyed_states) must be ONE
+    hash exchange of (key, name, state) rows — kilobyte states, never
+    data rows — for both the DataFrame path and the per-key tensor-moment
+    build. A second data-scale exchange here would be the 100 TB
+    bottleneck."""
+    from sketch_spark.pipeline.similarity import tensor_moments_by_key
+    from sketch_spark.spark.agg import SketchSpec, sketch_by_key
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    g = sketch_by_key(ev, "event_type", [SketchSpec("h", "hll", "user_id", {"p": 10})])
+    plan = _plan(g)
+    assert plan.count("+- Exchange") == 1, plan
+    assert "CartesianProduct" not in plan
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t = tensor_moments_by_key(emb, "label", d=64, d_out=512, degree=2, ns=2)
+    tplan = _plan(t)
+    assert tplan.count("+- Exchange") == 1, tplan
+    assert "CartesianProduct" not in tplan

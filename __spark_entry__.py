@@ -149,6 +149,44 @@ def q_hll_by_key_parquet_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_rollup_day_to_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup over mergeable states (round 4,
+    spark/agg.py::rollup_states): build HLL per FINE key (event_type,
+    day) once, then answer the coarser per-event_type question by MERGING
+    kilobyte states — no rescan. The §5 partitioning-invariance makes the
+    rolled-up state byte-identical to a direct per-event_type build
+    (asserted per key in ``rollup_bytes_equal``), so rollup lattices
+    layer without error accumulation; estimates must sit within the
+    published HLL bound of the exact distinct count."""
+    from sketch_spark.sketches.base import from_bytes as _fb_entry
+    from sketch_spark.spark.agg import rollup_states
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    spec = [SketchSpec("h", "hll", "user_id", {"p": 14})]
+    fine = sketch_by_key(ev, ["event_type", "day"], spec)
+    up = {r["event_type"]: bytes(r["state"]) for r in rollup_states(fine, ["event_type"]).collect()}
+    direct = {r["event_type"]: bytes(r["state"]) for r in sketch_by_key(ev, "event_type", spec).collect()}
+    exact = {
+        r["event_type"]: r["exact_distinct"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .collect()
+    }
+    bound = 3.0 * 1.03896 / np.sqrt(1 << 14)
+    rows = [
+        Row(
+            event_type=et,
+            exact_distinct=int(exact[et]),
+            within_bound=bool(
+                abs(_fb_entry(up[et]).estimate() - exact[et]) <= bound * exact[et]
+            ),
+            rollup_bytes_equal=bool(up[et] == direct[et]),
+        )
+        for et in sorted(exact)
+    ]
+    return spark.createDataFrame(rows)
+
+
 def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window (daily) distinct users via per-window HLL states —
     the time-windowed rollup shape (sketch states keyed by window start can
@@ -1654,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dhll_distinct_parts": q_dhll_distinct_parts,
         "hll_distinct_users_by_type": q_hll_distinct_users_by_type,
         "hll_by_key_parquet_direct": q_hll_by_key_parquet_direct,
+        "hll_rollup_day_to_type": q_hll_rollup_day_to_type,
         "hll_daily_users": q_hll_daily_users,
         "cms_top_parts": q_cms_top_parts,
         "bloom_orders_membership": q_bloom_orders_membership,
@@ -1725,6 +1764,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_by_key_parquet_direct": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, TRUE AS within_bound "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "hll_rollup_day_to_type": (
+            "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
+            "TRUE AS within_bound, TRUE AS rollup_bytes_equal "
             "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "hll_daily_users": (

@@ -9,10 +9,15 @@
         --sketch hll:p=14 --sketch cms:l2sz=20:nh=4 --sketch kll:k=200:col=n_tok \
         --checkpoint /data/ckpt/run1 --output /data/out/run1
 
-    # grouped build (one state per source)
+    # grouped build (one state per source; comma-separate for composite keys)
     spark-submit --py-files dist/sketch_spark.zip jobs/build_sketches_job.py \
-        --input /data/tokens --col tokens --group-by source \
-        --sketch hll:p=14 --output /data/out/by_source
+        --input /data/tokens --col tokens --group-by source,day \
+        --sketch hll:p=14 --output /data/out/by_source_day
+
+    # OLAP rollup: merge an existing grouped-states table to coarser keys
+    # (byte-identical to a direct build at that granularity — no rescan)
+    spark-submit --py-files dist/sketch_spark.zip jobs/build_sketches_job.py \
+        --input /data/out/by_source_day --rollup source --output /data/out/by_source
 
 The job is the Spark-native restatement of the reference's Cal-DisKS MPI
 driver (/root/reference/testsrc/caldiskstest.cpp + mpiParallelIO.cpp):
@@ -56,8 +61,22 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--input", required=True, help="parquet directory of the token table")
     ap.add_argument("--col", default="tokens", help="default column to sketch")
-    ap.add_argument("--sketch", action="append", required=True, help="kind:param=value[:col=name] (repeatable)")
-    ap.add_argument("--group-by", default=None, help="build one state per value of this column")
+    ap.add_argument(
+        "--sketch",
+        action="append",
+        default=None,
+        help="kind:param=value[:col=name] (repeatable; required except with --rollup)",
+    )
+    ap.add_argument(
+        "--group-by",
+        default=None,
+        help="build one state per value of this column (comma-separate for composite keys, e.g. source,day)",
+    )
+    ap.add_argument(
+        "--rollup",
+        default=None,
+        help="instead of building, ROLL UP an existing grouped-states parquet (--input) to these keys (comma-separated; empty string = global merge)",
+    )
     ap.add_argument("--checkpoint", default=None, help="per-file lineage checkpoint dir (resumable)")
     ap.add_argument("--output", default=None, help="write states + estimates parquet here")
     ap.add_argument("--direct", action="store_true", default=True, help="parquet-direct scan (default)")
@@ -71,14 +90,28 @@ def main(argv: list[str] | None = None) -> int:
     from sketch_spark.spark.checkpoint import checkpointed_build
     from sketch_spark.spark.files import build_sketches_from_parquet, sketch_by_key_from_parquet
 
-    specs = [parse_sketch(s, args.col) for s in args.sketch]
+    if args.rollup is None and not args.sketch:
+        ap.error("--sketch is required (except with --rollup)")
+    specs = [parse_sketch(s, args.col) for s in args.sketch or []]
     t0 = time.time()
 
+    if args.rollup is not None:
+        from sketch_spark.spark.agg import rollup_states
+
+        keep = [k for k in args.rollup.split(",") if k]
+        states = rollup_states(spark.read.parquet(args.input), keep)
+        if args.output:
+            states.write.mode("overwrite").parquet(args.output)
+        n = states.count()
+        print(json.dumps({"mode": "rollup", "keep": keep, "states": n, "wall_s": round(time.time() - t0, 2)}))
+        return 0
+
     if args.group_by:
+        keys = args.group_by.split(",") if "," in args.group_by else args.group_by
         if args.direct:
-            states = sketch_by_key_from_parquet(spark, args.input, args.group_by, specs)
+            states = sketch_by_key_from_parquet(spark, args.input, keys, specs)
         else:
-            states = sketch_by_key(spark.read.parquet(args.input), args.group_by, specs)
+            states = sketch_by_key(spark.read.parquet(args.input), keys, specs)
         if args.output:
             states.write.mode("overwrite").parquet(args.output)
         n = states.count()

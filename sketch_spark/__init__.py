@@ -59,6 +59,7 @@ from sketch_spark.spark import (  # noqa: F401
     merge_states_expr,
     partition_states,
     quantile_udf,
+    rollup_states,
     sketch_by_key,
     sketch_by_key_from_parquet,
     tree_merge_states,

@@ -5,6 +5,7 @@ from sketch_spark.spark.agg import (  # noqa: F401
     merge_states_expr,
     partition_states,
     quantile_udf,
+    rollup_states,
     sketch_by_key,
     tree_merge_states,
 )

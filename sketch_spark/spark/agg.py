@@ -251,30 +251,29 @@ def sketch_by_key(
     Spark's groupBy semantics.
     """
     spec_list = [(s.name, s.kind, s.col, dict(s.params), s.is_quantile) for s in specs]
-    key_type = dict(df.dtypes)[key]
+    keys = [key] if isinstance(key, str) else list(key)
+    dtypes = dict(df.dtypes)
+    key_types = [dtypes[k] for k in keys]
 
     def partial(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        return _keyed_partial(batches, key, spec_list, weight_col)
+        return _keyed_partial(batches, keys, spec_list, weight_col)
 
-    cols = sorted({s.col for s in specs} | {key} | ({weight_col} if weight_col else set()))
-    partials = df.select(*cols).mapInArrow(partial, f"{key} {key_type}, name string, state binary")
+    cols = sorted({s.col for s in specs} | set(keys) | ({weight_col} if weight_col else set()))
+    key_schema = ", ".join(f"{k} {t}" for k, t in zip(keys, key_types))
+    partials = df.select(*cols).mapInArrow(partial, f"{key_schema}, name string, state binary")
 
-    return merge_keyed_states(partials, key, key_type)
+    return merge_keyed_states(partials, keys, key_types)
 
 
-def _keyed_partial(
-    batches: Iterator[pa.RecordBatch], key: str, spec_list: list[tuple], weight_col: str | None
-) -> Iterator[pa.RecordBatch]:
-    """Shared map-side combine for grouped builds: fold an Arrow batch
-    stream into one sketch per (key value, spec) and emit a single
-    (key, name, state) batch — used by both the DataFrame path
-    (:func:`sketch_by_key`) and the parquet-direct path
-    (:func:`sketch_spark.spark.files.sketch_by_key_from_parquet`)."""
-    acc: dict[tuple[Any, str], Sketch] = {}
-    key_arrow_type = None
-    for batch in batches:
-        karr = batch.column(batch.schema.get_field_index(key))
-        key_arrow_type = karr.type
+def _encode_keys(batch: pa.RecordBatch, keys: list[str]):
+    """Dictionary-encode the key columns of one batch into a dense group
+    id per row plus the per-group key tuples and arrow types. Single-key
+    batches reuse the dictionary indices directly (no extra pass); the
+    multi-key composite pays one np.unique remap."""
+    per_inv, per_uniq, arrow_types = [], [], []
+    for k in keys:
+        karr = batch.column(batch.schema.get_field_index(k))
+        arrow_types.append(karr.type)
         # Arrow dictionary-encode keeps the native type (to_pandas would
         # promote nullable ints to float64) — no silent stringification
         # of numeric/date keys; null keys get their own trailing group
@@ -285,6 +284,38 @@ def _keyed_partial(
             uniq = uniq + [None]
         else:
             inv = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        per_inv.append(inv)
+        per_uniq.append(uniq)
+    if len(keys) == 1:
+        # dictionary indices are already dense 0..nu-1 over present values
+        return per_inv[0], [(u,) for u in per_uniq[0]], arrow_types
+    combined = per_inv[0]
+    for inv, uniq in zip(per_inv[1:], per_uniq[1:]):
+        combined = combined * len(uniq) + inv
+    present, dense = np.unique(combined, return_inverse=True)
+    tuples = []
+    for code in present:
+        parts = []
+        for uniq in reversed(per_uniq[1:]):
+            code, r = divmod(int(code), len(uniq))
+            parts.append(uniq[r])
+        parts.append(per_uniq[0][int(code)])
+        tuples.append(tuple(reversed(parts)))
+    return dense, tuples, arrow_types
+
+
+def _keyed_partial(
+    batches: Iterator[pa.RecordBatch], keys: list[str], spec_list: list[tuple], weight_col: str | None
+) -> Iterator[pa.RecordBatch]:
+    """Shared map-side combine for grouped builds: fold an Arrow batch
+    stream into one sketch per (key tuple, spec) and emit a single
+    (keys..., name, state) batch — used by both the DataFrame path
+    (:func:`sketch_by_key`) and the parquet-direct path
+    (:func:`sketch_spark.spark.files.sketch_by_key_from_parquet`)."""
+    acc: dict[tuple[tuple, str], Sketch] = {}
+    arrow_types = None
+    for batch in batches:
+        inv, uniq, arrow_types = _encode_keys(batch, keys)
         wrow = (
             _extract_column(batch, weight_col, want_float=True)
             if weight_col is not None
@@ -340,32 +371,61 @@ def _keyed_partial(
                     sk.update(seg, counts=segw)
     if acc:
         items = sorted(acc.items(), key=lambda kv: (repr(kv[0][0]), kv[0][1]))
+        key_cols = [
+            pa.array([k[i] for (k, _), _ in items], arrow_types[i]) for i in range(len(keys))
+        ]
         yield pa.RecordBatch.from_arrays(
-            [
-                pa.array([k for (k, _), _ in items], key_arrow_type),
+            key_cols
+            + [
                 pa.array([n for (_, n), _ in items], pa.string()),
                 pa.array([s.to_bytes() for _, s in items], pa.binary()),
             ],
-            names=[key, "name", "state"],
+            names=list(keys) + ["name", "state"],
         )
 
 
-def merge_keyed_states(partials: DataFrame, key: str, key_type: str) -> DataFrame:
-    """Phase 2 of a grouped build: groupBy(key, name) reduce-merge of the
-    (key, name, state) partials — one tiny shuffle of kilobyte states. The
-    output key column keeps ``key_type`` (no silent stringification)."""
+def merge_keyed_states(
+    partials: DataFrame, key: str | list[str], key_type: str | list[str]
+) -> DataFrame:
+    """Phase 2 of a grouped build: groupBy(keys, name) reduce-merge of the
+    (keys..., name, state) partials — one tiny shuffle of kilobyte states.
+    The output key columns keep their types (no silent stringification)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    key_types = [key_type] if isinstance(key_type, str) else list(key_type)
 
     def final_merge(pdf):
         sk = from_bytes(bytes(pdf["state"].iloc[0]))
         for blob in pdf["state"].iloc[1:]:
             sk.merge(from_bytes(bytes(blob)))
-        return pd.DataFrame(
-            {key: [pdf[key].iloc[0]], "name": [pdf["name"].iloc[0]], "state": [sk.to_bytes()]}
-        )
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row["name"] = [pdf["name"].iloc[0]]
+        row["state"] = [sk.to_bytes()]
+        return pd.DataFrame(row)
 
-    return partials.groupBy(key, "name").applyInPandas(
-        final_merge, f"{key} {key_type}, name string, state binary"
+    schema = ", ".join(
+        [f"{k} {t}" for k, t in zip(keys, key_types)] + ["name string", "state binary"]
     )
+    return partials.groupBy(*keys, "name").applyInPandas(final_merge, schema)
+
+
+def rollup_states(states: DataFrame, keys: list[str]) -> DataFrame:
+    """Roll a keyed state table up to coarser granularity by MERGING states
+    — the OLAP rollup that mergeability buys: build once per fine key
+    (e.g. (source, day)), then answer any coarser grouping ((source,),
+    (day,), or global) by folding kilobyte states, never rescanning data.
+
+    ``states``: any (key columns..., name, state) DataFrame produced by
+    :func:`sketch_by_key` / ``sketch_by_key_from_parquet`` / a checkpoint
+    table. ``keys``: the key columns to KEEP (may be empty — global merge
+    per spec name). Dropped key dimensions are merged away. For the
+    partitioning-invariant kinds the rolled-up state is byte-identical to
+    a direct build at the coarser granularity (the §5 merge invariant), so
+    rollup tables can be layered arbitrarily deep without error
+    accumulation — the reference's combine phase generalized from one
+    global merge to any lattice of groupings."""
+    dtypes = dict(states.dtypes)
+    key_types = [dtypes[k] for k in keys]
+    return merge_keyed_states(states.select(*keys, "name", "state"), list(keys), key_types)
 
 
 # ---- state-query column functions (drive estimates inside DataFrames) -------

@@ -146,7 +146,7 @@ _ARROW_TO_SPARK = {
 def sketch_by_key_from_parquet(
     spark: SparkSession,
     path_or_files: str | list[str],
-    key: str,
+    key: str | list[str],
     specs: list[SketchSpec],
     weight_col: str | None = None,
 ) -> "DataFrame":
@@ -158,8 +158,10 @@ def sketch_by_key_from_parquet(
     inside each Spark task instead of going through the JVM row→Arrow
     exchange, which for array<int32> token columns costs ~8× the kernels
     themselves (module docstring above; measured). Output contract is
-    identical to ``sketch_by_key``: a DataFrame (key, name, state) with
-    the key column in its native type.
+    identical to ``sketch_by_key``: a DataFrame (keys..., name, state)
+    with the key column(s) in their native types; ``key`` may be one
+    column or a list (fine-granularity builds for
+    :func:`sketch_spark.spark.agg.rollup_states`).
 
     States are byte-identical to the DataFrame path for the
     partitioning-invariant kinds (hll/bloom/cms/minhash/…, the §5 merge
@@ -170,14 +172,21 @@ def sketch_by_key_from_parquet(
     if not files:
         raise ValueError(f"no parquet files under {path_or_files!r}")
     spec_list = [(s.name, s.kind, s.col, dict(s.params), s.is_quantile) for s in specs]
-    arrow_key_t = str(pq.ParquetFile(files[0]).schema_arrow.field(key).type)
-    key_type = _ARROW_TO_SPARK.get(arrow_key_t)
-    if key_type is None:
-        if arrow_key_t.startswith("timestamp"):
-            key_type = "timestamp"
-        else:
-            raise ValueError(f"unsupported group-key arrow type {arrow_key_t!r}")
-    cols = sorted({c for _, _, c, _, _ in spec_list} | {key} | ({weight_col} if weight_col else set()))
+    keys = [key] if isinstance(key, str) else list(key)
+    schema_arrow = pq.ParquetFile(files[0]).schema_arrow
+    key_types = []
+    for k in keys:
+        arrow_key_t = str(schema_arrow.field(k).type)
+        kt = _ARROW_TO_SPARK.get(arrow_key_t)
+        if kt is None:
+            if arrow_key_t.startswith("timestamp"):
+                kt = "timestamp"
+            else:
+                raise ValueError(f"unsupported group-key arrow type {arrow_key_t!r}")
+        key_types.append(kt)
+    cols = sorted(
+        {c for _, _, c, _, _ in spec_list} | set(keys) | ({weight_col} if weight_col else set())
+    )
 
     par = spark.sparkContext.defaultParallelism
     units = _plan_units(files, par)
@@ -185,16 +194,15 @@ def sketch_by_key_from_parquet(
 
     def task(part: Iterable[tuple]) -> Iterator:
         batches = _read_unit_batches(part, cols)
-        for out in _keyed_partial(batches, key, spec_list, weight_col):
-            yield from zip(
-                out.column(0).to_pylist(),
-                out.column(1).to_pylist(),
-                out.column(2).to_pylist(),
-            )
+        for out in _keyed_partial(batches, keys, spec_list, weight_col):
+            yield from zip(*(out.column(i).to_pylist() for i in range(out.num_columns)))
 
     rdd = spark.sparkContext.parallelize(units, n_slices).mapPartitions(task)
-    partials = spark.createDataFrame(rdd, f"{key} {key_type}, name string, state binary")
-    return merge_keyed_states(partials, key, key_type)
+    schema = ", ".join(
+        [f"{k} {t}" for k, t in zip(keys, key_types)] + ["name string", "state binary"]
+    )
+    partials = spark.createDataFrame(rdd, schema)
+    return merge_keyed_states(partials, keys, key_types)
 
 
 def _read_unit_batches(units: Iterable[tuple], cols: list[str]) -> Iterator:

@@ -337,3 +337,88 @@ def test_sketch_by_key_weighted_list_column_repeats_row_weight(spark):
     want_b = make_sketch("cms", l2sz=10, nh=3).update(np.array([7]), counts=np.array([3]))
     assert from_bytes(out["A"]).to_bytes() == want_a.to_bytes()
     assert from_bytes(out["B"]).to_bytes() == want_b.to_bytes()
+
+
+# ---------------------------------------------------------------------------
+# Multi-key grouped builds + OLAP rollups (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_sketch_by_key_multi_key_byte_parity(spark):
+    """A (event_type, day) grouped build equals a filtered single-pass
+    build per key PAIR, byte-for-byte; both key columns keep native types."""
+    from sketch_spark.spark.agg import rollup_states
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    fine = sketch_by_key(ev, ["event_type", "day"], [SketchSpec("h", "hll", "user_id", {"p": 11})])
+    dt = dict(fine.dtypes)
+    assert dt["event_type"] == "string" and dt["day"] == "date"
+    got = {(r["event_type"], r["day"]): bytes(r["state"]) for r in fine.collect()}
+    some = sorted(got)[:3]
+    for et, day in some:
+        sub = ev.where((F.col("event_type") == et) & (F.col("day") == F.lit(day)))
+        vals = np.array([r["user_id"] for r in sub.select("user_id").collect()], dtype=np.int64)
+        assert got[(et, day)] == make_sketch("hll", p=11).update(vals).to_bytes()
+
+
+def test_rollup_states_byte_identical_to_direct(spark):
+    """Rolling (event_type, day) states up to event_type, to day, and to
+    global must each be byte-identical to a direct build at that
+    granularity — the merge-lattice property that makes layered rollup
+    tables exact."""
+    from sketch_spark.spark.agg import rollup_states
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    spec = [SketchSpec("h", "hll", "user_id", {"p": 12})]
+    fine = sketch_by_key(ev, ["event_type", "day"], spec).cache()
+    for keep in (["event_type"], ["day"]):
+        up = {tuple(r[k] for k in keep): bytes(r["state"]) for r in rollup_states(fine, keep).collect()}
+        direct = {
+            tuple(r[k] for k in keep): bytes(r["state"])
+            for r in sketch_by_key(ev, keep[0], spec).collect()
+        }
+        assert up == direct, f"rollup to {keep} diverged"
+    # global rollup == whole-column tree build
+    glob = rollup_states(fine, []).collect()
+    assert len(glob) == 1 and glob[0]["name"] == "h"
+    whole = build_sketches(ev, spec)["h"]
+    assert bytes(glob[0]["state"]) == whole.to_bytes()
+    # rollup of a rollup == rollup (lattice layering, no error accumulation)
+    mid = rollup_states(fine, ["event_type"])
+    twice = rollup_states(mid, []).collect()
+    assert bytes(twice[0]["state"]) == whole.to_bytes()
+    fine.unpersist()
+
+
+def test_sketch_by_key_multi_key_null_group(spark):
+    """A null in one key dimension forms its own group, matching Spark
+    groupBy semantics."""
+    df = spark.createDataFrame(
+        [("a", None, 1), ("a", None, 2), ("a", "x", 3), ("b", "x", 4)],
+        "k1 string, k2 string, v long",
+    )
+    out = sketch_by_key(df, ["k1", "k2"], [SketchSpec("h", "hll", "v", {"p": 8})])
+    rows = {(r["k1"], r["k2"]): from_bytes(bytes(r["state"])).estimate() for r in out.collect()}
+    assert set(rows) == {("a", None), ("a", "x"), ("b", "x")}
+    assert round(rows[("a", None)]) == 2
+
+
+def test_grouped_parquet_direct_multi_key_parity(spark):
+    """The parquet-direct grouped path accepts a key LIST and matches the
+    DataFrame path byte-for-byte."""
+    from sketch_spark.spark.files import sketch_by_key_from_parquet
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    ev = spark.read.parquet(path)
+    spec = [SketchSpec("h", "hll", "user_id", {"p": 10})]
+    via_df = {
+        (r["event_type"], r["name"]): bytes(r["state"])
+        for r in sketch_by_key(ev, "event_type", spec).collect()
+    }
+    direct = sketch_by_key_from_parquet(spark, path, ["event_type"], spec)
+    via_files = {(r["event_type"], r["name"]): bytes(r["state"]) for r in direct.collect()}
+    assert via_df == via_files

@@ -43,17 +43,24 @@ def guarded_bucket_pairs(
     stats = rows.groupBy(*keys).agg(
         F.count("*").alias("_bsize"), F.min(id_col).alias("_bmin")
     )
-    tagged = rows.join(stats, keys)
-    small = tagged.where(F.col("_bsize") <= max_bucket_size).select(id_col, *keys)
-    l = small.alias("l")
-    r = small.alias("r")
+    # Only the LEFT side of the all-pairs self-join needs the small-bucket
+    # filter: for a mega bucket the left side is empty, so joining the
+    # right side against the RAW rows produces nothing quadratic — and the
+    # plan carries one stats join instead of one per self-join side (the
+    # stats subtree otherwise compiles once per reference; measured 6
+    # copies / ~10 broadcast jobs in the three-branch formulation).
+    small_l = (
+        rows.join(stats.where(F.col("_bsize") <= max_bucket_size), keys)
+        .select(F.col(id_col).alias("id_a"), *keys)
+    )
     pairs_small = (
-        l.join(r, keys)
-        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        small_l.join(rows.select(F.col(id_col).alias("id_b"), *keys), keys)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
     )
     pairs_big = (
-        tagged.where((F.col("_bsize") > max_bucket_size) & (F.col(id_col) != F.col("_bmin")))
+        rows.join(stats.where(F.col("_bsize") > max_bucket_size), keys)
+        .where(F.col(id_col) != F.col("_bmin"))
         .select(F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b"))
     )
     return pairs_small.unionByName(pairs_big)

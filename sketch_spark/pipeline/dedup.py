@@ -175,9 +175,11 @@ def lsh_candidate_pairs(
     """
     band_exprs = [
         # single 64-bit key folding band_id into the hash — one long column
-        # shuffles cheaper than a (int, long) struct
+        # shuffles cheaper than a (int, long) struct; xxhash64 consumes the
+        # array slice directly (the old cast-to-string round-trip was ~8
+        # string materializations per doc for nothing)
         F.xxhash64(
-            F.lit(i), F.slice("sig", i * rows_per_band + 1, rows_per_band).cast("string")
+            F.lit(i), F.slice("sig", i * rows_per_band + 1, rows_per_band)
         ).alias(f"bh{i}")
         for i in range(bands)
     ]

@@ -43,24 +43,24 @@ def guarded_bucket_pairs(
     stats = rows.groupBy(*keys).agg(
         F.count("*").alias("_bsize"), F.min(id_col).alias("_bmin")
     )
-    # Only the LEFT side of the all-pairs self-join needs the small-bucket
-    # filter: for a mega bucket the left side is empty, so joining the
-    # right side against the RAW rows produces nothing quadratic — and the
-    # plan carries one stats join instead of one per self-join side (the
-    # stats subtree otherwise compiles once per reference; measured 6
-    # copies / ~10 broadcast jobs in the three-branch formulation).
-    small_l = (
-        rows.join(stats.where(F.col("_bsize") <= max_bucket_size), keys)
+    # ONE join expresses both regimes: a left row survives iff its bucket
+    # is small (→ all-pairs) OR it is the bucket hub (→ the star). Joining
+    # that left side against the RAW rows under id_a < id_b then yields
+    # exactly all-pairs for small buckets and hub→member for mega buckets
+    # (the hub is the bucket MIN, so every member passes the inequality;
+    # self-pairs don't). A mega bucket contributes ONE left row, so the
+    # join stays linear in bucket size — and the stats aggregation subtree
+    # appears once in the plan (the earlier tagged/small/big formulation
+    # compiled it once per reference: six copies, ~10 broadcast jobs).
+    left = (
+        rows.join(stats, keys)
+        .where(
+            (F.col("_bsize") <= max_bucket_size) | (F.col(id_col) == F.col("_bmin"))
+        )
         .select(F.col(id_col).alias("id_a"), *keys)
     )
-    pairs_small = (
-        small_l.join(rows.select(F.col(id_col).alias("id_b"), *keys), keys)
+    return (
+        left.join(rows.select(F.col(id_col).alias("id_b"), *keys), keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    pairs_big = (
-        rows.join(stats.where(F.col("_bsize") > max_bucket_size), keys)
-        .where(F.col(id_col) != F.col("_bmin"))
-        .select(F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b"))
-    )
-    return pairs_small.unionByName(pairs_big)

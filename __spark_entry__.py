@@ -561,6 +561,35 @@ def q_ann_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
+def q_ivf_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (round 4 — the second scale path the training-pipeline
+    brief names alongside LSH bucketing): spherical-k-means coarse
+    quantizer trained on a bounded driver sample, distributed matmul+
+    argmax cell assignment, broadcast wanted-cell semi-join, exact cosine
+    re-rank over candidates (pipeline/similarity.py::ivf_topk). Probing
+    8 of 16 cells must recover ≥ 6 of each query's true top-10 (worst
+    observed 8/10 at all sfs; nprobe = n_centroids degenerates to exact —
+    pytest-anchored). Deterministic: seeded quantizer, fixed queries."""
+    from sketch_spark.pipeline.similarity import brute_force_topk, ivf_topk, kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C = kmeans_centroids(emb, n_centroids=16, sample=4096, seed=7)
+    qrows = emb.where(F.col("vec_id") < 3).collect()
+    qvecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in qrows])
+    truth: dict[int, set] = {}
+    for r in brute_force_topk(emb, qvecs, qids, k=10).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got: dict[int, set] = {}
+    for r in ivf_topk(emb, C, qvecs, qids, k=10, nprobe=8).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rows = [
+        Row(query_id=int(q), recall_ok=bool(len(truth[q] & got.get(q, set())) >= 6))
+        for q in sorted(truth)
+    ]
+    return spark.createDataFrame(rows)
+
+
 def q_bpe_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-token counting per source (word runs / single digits /
     punctuation — sketch_spark.pipeline.text.with_bpe_token_count); oracle
@@ -1712,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_docs": q_dedup_keep_docs,
         "quality_filter_by_source": q_quality_filter_by_source,
         "ann_topk_recall": q_ann_topk_recall,
+        "ivf_topk_recall": q_ivf_topk_recall,
         "bpe_token_count_by_source": q_bpe_token_count_by_source,
         "cosine_topk": q_cosine_topk,
         "countsketch_heavy_parts": q_countsketch_heavy_parts,
@@ -1944,6 +1974,10 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "ann_topk_recall": (
+            "SELECT CAST(query_id AS BIGINT) AS query_id, TRUE AS recall_ok "
+            "FROM (VALUES (0), (1), (2)) AS t(query_id) ORDER BY query_id"
+        ),
+        "ivf_topk_recall": (
             "SELECT CAST(query_id AS BIGINT) AS query_id, TRUE AS recall_ok "
             "FROM (VALUES (0), (1), (2)) AS t(query_id) ORDER BY query_id"
         ),

@@ -226,6 +226,107 @@ def ann_topk(
     return brute_force_topk(cand, qm, query_ids, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    sample: int = 4096,
+    iters: int = 12,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer for IVF: Lloyd's iterations on a
+    bounded DRIVER-side sample (deterministic `limit(sample)` — standard
+    IVF practice: the quantizer trains on a sample, only ASSIGNMENT is
+    data-scale and that stays distributed in :func:`ivf_cells`). Vectors
+    and centroids are L2-normalized so nearest-centroid = max cosine.
+    Empty clusters are reseeded to the farthest-from-its-centroid point,
+    keeping exactly ``n_centroids`` live cells. Returns (n_centroids, d)
+    float64 unit rows, fully determined by (data order, seed)."""
+    rows = df.select(vec_col).limit(int(sample)).collect()
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    if len(X) < n_centroids:
+        raise ValueError(f"sample ({len(X)}) smaller than n_centroids ({n_centroids})")
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(seed)
+    C = Xn[rng.choice(len(Xn), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        sims = Xn @ C.T
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(Xn)), assign]
+        for c in range(n_centroids):
+            members = Xn[assign == c]
+            if len(members) == 0:
+                C[c] = Xn[int(np.argmin(best))]
+                continue
+            m = members.sum(axis=0)
+            n = np.linalg.norm(m)
+            C[c] = m / n if n > 1e-30 else C[c]
+    return C
+
+
+def ivf_cells(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest (max-cosine) centroid cell — one
+    (n, d) @ (d, k) matmul + argmax per Arrow batch, no per-row Python.
+    The quantizer is broadcast in the UDF closure (kilobytes)."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def assign(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            m = _batch_matrix(batch.column(batch.schema.get_field_index(vec_col)))
+            if m.shape[0] == 0:
+                continue
+            m64 = m.astype(np.float64)
+            mn = m64 / np.maximum(np.linalg.norm(m64, axis=1, keepdims=True), 1e-30)
+            cell = np.argmax(mn @ C.T, axis=1).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(cell, pa.int64())], names=[id_col, "cell"]
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(assign, f"{id_col} long, cell long")
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: np.ndarray,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: the second scale path the training-pipeline
+    brief names alongside the LSH-bucketed :func:`ann_topk`. Candidates =
+    rows whose cell is among any query's ``nprobe`` nearest centroids —
+    a broadcast semi-join on one int key (the wanted-cell list is at most
+    q·nprobe rows), then exact cosine top-k over candidates only. At
+    100 TB the full corpus is touched once by the (matmul + argmax)
+    assignment scan; the expensive exact scoring runs on ~nprobe/k_cells
+    of the data. Cells can also be precomputed once with
+    :func:`ivf_cells` and reused across query batches."""
+    C = np.asarray(centroids, dtype=np.float64)
+    qm = np.asarray(queries, dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    probe = min(nprobe, C.shape[0])
+    qcells = np.argpartition(-(qn @ C.T), probe - 1, axis=1)[:, :probe]
+    wanted = sorted({int(c) for row in qcells for c in row})
+    spark = df.sparkSession
+    wanted_df = spark.createDataFrame([(c,) for c in wanted], "cell long")
+    cand_ids = (
+        ivf_cells(df, C, id_col=id_col, vec_col=vec_col)
+        .join(F.broadcast(wanted_df), "cell")
+        .select(id_col)
+    )
+    cand = df.join(cand_ids, id_col)
+    return brute_force_topk(cand, qm, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def cs_projection_matrix(d_in: int, d_out: int, ns: int = 1, seed: int = 137) -> np.ndarray:
     """Dense (d_in, ns·d_out) CountSketch matrix: block j holds one ±1
     entry per input dimension at column bucket_j(i) (cs_compress applied

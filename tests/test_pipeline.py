@@ -541,6 +541,41 @@ def test_embedding_hot_bucket_guard_linear(spark):
     assert got.count() == n - 1  # star: every non-min pairs once with the hub
 
 
+def test_ivf_quantizer_and_cells(spark, emb_df):
+    """Spherical k-means: deterministic for fixed (data, seed), unit-norm
+    centroids, all cells live; distributed assignment matches a local
+    argmax; empty-sample guard raises."""
+    from sketch_spark.pipeline.similarity import ivf_cells, kmeans_centroids
+
+    C = kmeans_centroids(emb_df, n_centroids=8, sample=512, seed=3)
+    C2 = kmeans_centroids(emb_df, n_centroids=8, sample=512, seed=3)
+    assert np.array_equal(C, C2)
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+    cells = {r["vec_id"]: r["cell"] for r in ivf_cells(emb_df, C).collect()}
+    assert len(set(cells.values())) == 8
+    rows = emb_df.where(F.col("vec_id") < 50).collect()
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        v /= np.linalg.norm(v)
+        assert cells[r["vec_id"]] == int(np.argmax(v @ C.T))
+    with pytest.raises(ValueError, match="sample"):
+        kmeans_centroids(emb_df.limit(4), n_centroids=8)
+
+
+def test_ivf_topk_full_probe_is_exact(spark, emb_df):
+    """nprobe = n_centroids degenerates IVF to exact brute force — the
+    correctness anchor for the candidate plumbing."""
+    from sketch_spark.pipeline.similarity import brute_force_topk, ivf_topk, kmeans_centroids
+
+    rows = emb_df.where(F.col("vec_id") < 2).collect()
+    qv = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qi = np.array([r["vec_id"] for r in rows])
+    C = kmeans_centroids(emb_df, n_centroids=8, sample=512, seed=3)
+    exact = {(r["query_id"], r["vec_id"], r["rank"]) for r in brute_force_topk(emb_df, qv, qi, k=5).collect()}
+    full = {(r["query_id"], r["vec_id"], r["rank"]) for r in ivf_topk(emb_df, C, qv, qi, k=5, nprobe=8).collect()}
+    assert exact == full
+
+
 def test_tensor_moments_by_key_matches_local(spark, emb_df):
     """Distributed per-label tensor-moment sketches == a local single-pass
     build per label (merge linearity through the two-phase Spark path),

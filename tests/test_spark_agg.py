@@ -422,3 +422,29 @@ def test_grouped_parquet_direct_multi_key_parity(spark):
     direct = sketch_by_key_from_parquet(spark, path, ["event_type"], spec)
     via_files = {(r["event_type"], r["name"]): bytes(r["state"]) for r in direct.collect()}
     assert via_df == via_files
+
+
+def test_encode_keys_matches_tuple_grouping():
+    """Property: the composite group encoder assigns two rows the same
+    dense id iff their key TUPLES are equal — including null slots — and
+    the emitted tuple list indexes back to the original values."""
+    import pyarrow as pa
+
+    from sketch_spark.spark.agg import _encode_keys
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    k1 = rng.choice(["a", "b", "c", None], size=n).tolist()
+    k2 = rng.integers(0, 5, size=n).tolist()
+    k3 = rng.choice([None, 1.5, 2.5], size=n).tolist()
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(k1, pa.string()), pa.array(k2, pa.int64()), pa.array(k3, pa.float64())],
+        names=["k1", "k2", "k3"],
+    )
+    dense, tuples, types = _encode_keys(batch, ["k1", "k2", "k3"])
+    assert len(dense) == n and len(types) == 3
+    for i in range(n):
+        assert tuples[int(dense[i])] == (k1[i], k2[i], k3[i])
+    truth = {(a, b, c) for a, b, c in zip(k1, k2, k3)}
+    used = {tuples[i] for i in set(dense.tolist())}
+    assert used == truth  # same id ⟺ same tuple, and every tuple appears

@@ -290,3 +290,21 @@ def test_stateful_streaming_round3_maxmonoid_kind(spark, fixtures, tmp_path):
     assert set(final) == set(want)
     for k, w in want.items():
         assert bytes(final[k]["state"]) == w, k
+
+
+def test_streaming_states_roll_up_to_batch_global(spark, fixtures):
+    """States produced by the grouped path roll up (rollup_states) to the
+    byte-exact whole-column build — streaming per-key state-store output
+    has the same (key, name, state) shape, so the same lattice applies:
+    maintain fine-grained states online, answer any coarser grouping by
+    merging, never rescanning."""
+    from sketch_spark.spark.agg import build_sketches, rollup_states
+
+    d, _ = fixtures
+    df = spark.read.parquet(os.path.join(d, "overlap"))
+    spec = SketchSpec("h", "hll", "tokens", {"p": 14})
+    keyed = sketch_by_key(df, "source", [spec])
+    glob = rollup_states(keyed, []).collect()
+    assert len(glob) == 1
+    whole = build_sketches(df, [spec])["h"]
+    assert bytes(glob[0]["state"]) == whole.to_bytes()

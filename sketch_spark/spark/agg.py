@@ -226,7 +226,7 @@ def build_weighted_sketch(
 
 
 def sketch_by_key(
-    df: DataFrame, key: str, specs: list[SketchSpec], weight_col: str | None = None
+    df: DataFrame, key: str | list[str], specs: list[SketchSpec], weight_col: str | None = None
 ) -> DataFrame:
     """Grouped sketches, two-phase (scales to high-cardinality keys).
 
@@ -248,7 +248,10 @@ def sketch_by_key(
 
     The output ``key`` column keeps the input column's type (string, any
     numeric, date/timestamp); null keys form their own group, matching
-    Spark's groupBy semantics.
+    Spark's groupBy semantics. ``key`` may also be a LIST of columns —
+    composite fine-granularity keys whose states feed
+    :func:`rollup_states` (each key column keeps its native type; the
+    composite group id costs one extra np.unique per batch).
     """
     spec_list = [(s.name, s.kind, s.col, dict(s.params), s.is_quantile) for s in specs]
     keys = [key] if isinstance(key, str) else list(key)

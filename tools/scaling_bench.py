@@ -89,10 +89,30 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=2, help="small level N (large = 4N)")
     ap.add_argument("--docs", type=int, default=480_000)
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument(
+        "--interleave",
+        action="store_true",
+        help="alternate small/large single-rep runs instead of back-to-back "
+        "blocks — a multi-minute co-tenant burst then hurts both sides "
+        "instead of silently skewing one (same rationale as fusion_bench); "
+        "each side reports its min across rounds",
+    )
     args = ap.parse_args()
 
-    small = run_level(args.n, args.docs, args.repeat)
-    large = run_level(4 * args.n, args.docs, args.repeat)
+    if args.interleave:
+        smalls, larges = [], []
+        for _ in range(args.repeat):
+            smalls.append(run_level(args.n, args.docs, 1))
+            larges.append(run_level(4 * args.n, args.docs, 1))
+        small = min(smalls, key=lambda r: r["sec"])
+        large = min(larges, key=lambda r: r["sec"])
+        small["times"] = [r["sec"] for r in smalls]
+        large["times"] = [r["sec"] for r in larges]
+        small["loadavg"] = [r["loadavg"][0] for r in smalls]
+        large["loadavg"] = [r["loadavg"][0] for r in larges]
+    else:
+        small = run_level(args.n, args.docs, args.repeat)
+        large = run_level(4 * args.n, args.docs, args.repeat)
     eff = (small["sec"] * args.n) / (large["sec"] * 4 * args.n)
     print(
         json.dumps(

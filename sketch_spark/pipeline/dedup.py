@@ -369,15 +369,18 @@ def simhash_hamming_pairs(
     n_seg = k + 1
     widths = [64 // n_seg + (1 if i < 64 % n_seg else 0) for i in range(n_seg)]
     offsets = [sum(widths[:i]) for i in range(n_seg)]
+    def seg_bits(i: int):
+        # k=0 → one 64-bit segment: the mask (1<<64)-1 would overflow a
+        # Java long, and shift>>0 & full-mask is the identity anyway
+        bits = F.shiftrightunsigned(F.col("simhash"), offsets[i])
+        if widths[i] < 64:
+            bits = bits.bitwiseAND(F.lit((1 << widths[i]) - 1))
+        return bits
+
     seg_exprs = [
         # fold (segment_id, segment_bits) into one 64-bit key — same
         # compact-key shuffle shape as lsh_candidate_pairs' band hash
-        F.xxhash64(
-            F.lit(i),
-            F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(
-                F.lit((1 << widths[i]) - 1)
-            ),
-        ).alias(f"seg{i}")
+        F.xxhash64(F.lit(i), seg_bits(i)).alias(f"seg{i}")
         for i in range(n_seg)
     ]
     membership = sigs.select(id_col, F.explode(F.array(*seg_exprs)).alias("seg"))

@@ -253,10 +253,17 @@ def kmeans_centroids(
         sims = Xn @ C.T
         assign = np.argmax(sims, axis=1)
         best = sims[np.arange(len(Xn)), assign]
+        # empty clusters reseed to DISTINCT worst-fit points (successive
+        # ranks of the farthest-from-its-centroid ordering) — reseeding
+        # them all to argmin(best) would duplicate centroids and leave the
+        # duplicates permanently empty under lower-index argmax ties
+        far_order = np.argsort(best)
+        n_reseeded = 0
         for c in range(n_centroids):
             members = Xn[assign == c]
             if len(members) == 0:
-                C[c] = Xn[int(np.argmin(best))]
+                C[c] = Xn[int(far_order[n_reseeded % len(far_order)])]
+                n_reseeded += 1
                 continue
             m = members.sum(axis=0)
             n = np.linalg.norm(m)
@@ -411,18 +418,20 @@ def tensor_moments_by_key(
     key_type = dict(df.dtypes)[key]
 
     def partial(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # _encode_keys (the sketch_by_key encoder) keeps native key types
+        # AND gives null keys their own group — matching the grouped-build
+        # contract (a hand-rolled dictionary encode here once cast null
+        # indices to INT64_MIN and silently dropped those rows)
+        from sketch_spark.spark.agg import _encode_keys
+
         acc: dict = {}
         key_arrow_type = None
         for batch in batches:
-            karr = batch.column(batch.schema.get_field_index(key))
-            key_arrow_type = karr.type
-            denc = karr.dictionary_encode()
-            uniq = denc.dictionary.to_pylist()
-            inv = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            inv, uniq, (key_arrow_type,) = _encode_keys(batch, [key])
             m = _batch_matrix(batch.column(batch.schema.get_field_index(vec_col)))
             if m.shape[0] == 0:
                 continue
-            for gi, kval in enumerate(uniq):
+            for gi, (kval,) in enumerate(uniq):
                 rows = m[inv == gi]
                 if len(rows) == 0:
                     continue

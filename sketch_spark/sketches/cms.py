@@ -29,11 +29,11 @@ import numpy as np
 from sketch_spark.hashing import (
     CHUNK,
     _u64 as _u64_vals,
+    double_hashes,
     kwise_coefficients,
     poly_hash_mersenne,
     seeded_hashes,
     splitmix64,
-    wanghash,
 )
 from sketch_spark.sketches.base import Sketch, register
 
@@ -54,9 +54,30 @@ class _TableSketch(Sketch):
         self.w = 1 << l2sz
         self.table = np.zeros((self.nh, self.w), dtype=self.dtype)
         self._seeds = splitmix64(self.seed, self.nh)
+        # Kirsch–Mitzenmacher base-hash seeds (two, independent of nh) for
+        # the default row family — see hashing.double_hashes.
+        self._dhseeds = splitmix64(self.seed ^ 0xD1B54A32D192ED03, 2)
+
+    def _chunk_hashes(self, chunk: np.ndarray) -> np.ndarray:
+        """(nh, len(chunk)) uint64 row hashes — the hash-family hook.
+
+        Default (cms/pccm/realccm): Kirsch–Mitzenmacher double hashing, 2
+        mixes per batch instead of nh (the min-over-rows CMS bound needs
+        pairwise independence WITHIN a row, which row 0 = wanghash gives
+        exactly and rows r>0 inherit; the e^-nh confidence term is what the
+        mild cross-row correlation touches, and the mctest-parity overshoot
+        tests gate it empirically). CountSketch overrides with fully seeded
+        per-row mixes (its median estimator leans on cross-row independence);
+        cs4w overrides with provably 4-wise polynomials."""
+        return double_hashes(chunk, int(self._dhseeds[0]), int(self._dhseeds[1]), self.nh)
 
     def _row_hashes(self, values: np.ndarray) -> np.ndarray:
-        return seeded_hashes(np.asarray(values), self._seeds)  # (nh, n)
+        v = np.asarray(values)
+        out = np.empty((self.nh, len(v)), dtype=np.uint64)
+        for i in range(0, len(v), CHUNK):
+            hs = self._chunk_hashes(v[i : i + CHUNK])
+            out[:, i : i + hs.shape[1]] = hs
+        return out
 
     def _row_indices(self, values: np.ndarray) -> np.ndarray:
         """(nh, n) int32 table indices, computed in cache-sized chunks so the
@@ -67,7 +88,7 @@ class _TableSketch(Sketch):
         idx = np.empty((self.nh, len(v)), dtype=np.int32)
         mask = _U64(self.w - 1)
         for i in range(0, len(v), CHUNK):
-            hs = seeded_hashes(v[i : i + CHUNK], self._seeds)
+            hs = self._chunk_hashes(v[i : i + CHUNK])
             idx[:, i : i + hs.shape[1]] = (hs & mask).astype(np.int32)
         return idx
 
@@ -133,9 +154,9 @@ class CountMinSketch(_TableSketch):
         with np.errstate(over="ignore"):
             for i in range(0, len(u), CHUNK):
                 chunk = u[i : i + CHUNK]
+                hs = self._chunk_hashes(chunk)
                 for r in range(self.nh):
-                    hs = wanghash(chunk ^ _U64(self._seeds[r]))
-                    rows[r][i : i + len(hs)] = (hs & mask).astype(np.int32)
+                    rows[r][i : i + hs.shape[1]] = (hs[r] & mask).astype(np.int32)
         for r in range(self.nh):
             if c is None:
                 self.table[r] += np.bincount(rows[r], minlength=self.w).astype(self.dtype)

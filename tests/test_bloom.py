@@ -104,3 +104,23 @@ def test_intersect_and_symmetric_difference():
     both = a.copy()
     both.intersect(a)
     assert both.to_bytes() == a.to_bytes()  # idempotent with self
+
+
+def test_flags_and_byte_or_scatter_paths_bit_identical():
+    """update() picks between the unpack/scatter/repack path (big batches)
+    and in-place byte OR (small batches) on a work gate; both must produce
+    the same bits. Drive the same filter through each path explicitly."""
+    from sketch_spark.sketches.bloom import BloomFilter
+
+    rng = np.random.default_rng(99)
+    vals = rng.integers(0, 1 << 40, 300_000, dtype=np.int64)
+    big = BloomFilter(l2sz=16, nh=3, seed=5)  # 64k bits: one big batch -> flags path
+    big.update(vals)
+    # work gate: flags path iff len(v)*nh >= m>>6 (= 1024 here), so batches
+    # of 100 (300 hashes) genuinely take the byte-OR branch
+    assert 100 * 3 < (1 << 16) >> 6
+    small = BloomFilter(l2sz=16, nh=3, seed=5)
+    for i in range(0, len(vals), 100):  # tiny batches -> byte-OR path
+        small.update(vals[i : i + 100])
+    np.testing.assert_array_equal(big.words, small.words)
+    assert big.to_bytes() == small.to_bytes()

@@ -162,3 +162,37 @@ def test_xxh3_u64_fuzz_vs_system_lib():
         dtype=np.uint64,
     )
     np.testing.assert_array_equal(xxh3_u64(x[:500], 7), ref7)
+
+
+def test_double_hashes_is_affine_in_two_base_mixes():
+    """Kirsch–Mitzenmacher contract: row r == h1 + r*h2 (uint64 wrap),
+    row 0 IS wanghash(x ^ s0) — so marginal per-row quality is exactly the
+    base mix's."""
+    from sketch_spark.hashing import double_hashes
+
+    batch = RNG.integers(0, 2**64, 50_000, dtype=np.uint64)
+    s0, s1 = 0x1234ABCD, 0x9E3779B97F4A7C15
+    hs = double_hashes(batch, s0, s1, 5)
+    assert hs.shape == (5, len(batch))
+    h1 = wanghash(batch ^ np.uint64(s0))
+    h2 = murfinhash(batch ^ np.uint64(s1))
+    np.testing.assert_array_equal(hs[0], h1)
+    with np.errstate(over="ignore"):
+        for r in range(1, 5):
+            np.testing.assert_array_equal(hs[r], h1 + np.uint64(r) * h2)
+
+
+def test_double_hashes_rows_pairwise_uniform():
+    """Each row individually behaves like a uniform 64-bit hash: bucket
+    occupancy over 2^12 buckets within chi-square-ish tolerance."""
+    from sketch_spark.hashing import double_hashes
+
+    batch = np.arange(200_000, dtype=np.uint64)  # adversarially sequential
+    hs = double_hashes(batch, 7, 11, 4)
+    nb = 1 << 12
+    for r in range(4):
+        counts = np.bincount((hs[r] & np.uint64(nb - 1)).astype(np.int64), minlength=nb)
+        mean = len(batch) / nb  # ~48.8
+        # Poisson sd ~ 7; allow 6 sigma on max deviation across 4096 bins
+        assert counts.min() > mean - 6 * np.sqrt(mean)
+        assert counts.max() < mean + 6 * np.sqrt(mean)

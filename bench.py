@@ -50,6 +50,20 @@ from sketch_spark.spark.session import get_spark
 TOKEN_DOCS = {"0.001": 600, "0.01": 6_000, "0.1": 60_000}
 
 
+def fault_canary_mb_s(mb: int = 64) -> float:
+    """First-touch page-fault throughput (MB/s): allocate `mb` fresh MB and
+    write one byte per 4 KiB page. Healthy hosts fault at GB/s; a hypervisor
+    memory-overcommit episode drops this to ~50 MB/s (measured on this box),
+    which slows every fresh JVM/worker allocation 10-100x while steal%% and
+    loadavg stay low — the one co-tenant failure mode those two can't see."""
+    a = np.empty(mb << 20, dtype=np.uint8)
+    t0 = time.perf_counter()
+    a[::4096] = 1
+    dt = time.perf_counter() - t0
+    del a
+    return round(mb / dt, 1)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=None)
@@ -90,6 +104,7 @@ def main() -> None:
                 return None
 
         la0 = round(os.getloadavg()[0], 2)
+        canary0 = fault_canary_mb_s()
         c0 = _cpu_stat()
         t0 = time.perf_counter()
         sk = build_sketches_from_parquet(spark, tok_dir, specs)
@@ -112,6 +127,7 @@ def main() -> None:
                     "n_tokens": n_tokens,
                     "loadavg": {"flagship_xl": [la0, round(os.getloadavg()[0], 2)]},
                     "steal_pct": {"flagship_xl": [xl_steal]},
+                    "fault_mb_s": [canary0, fault_canary_mb_s()],
                     "affinity_cores": len(os.sched_getaffinity(0)),
                     "host_cores": os.cpu_count(),
                 }
@@ -132,6 +148,7 @@ def main() -> None:
     # one rep of many queries instead of every rep of one query, and the
     # min is the code's quiet-window cost. all_reps + per-rep loadavg ride
     # along so the spread itself is recorded, not discarded.
+    canary0 = fault_canary_mb_s()
     timings: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
     extra: dict[str, float] = {}
@@ -293,6 +310,10 @@ def main() -> None:
         # hypervisor steal (% of ALL cpu cycles) during each rep — the
         # co-tenant noise loadavg can't see
         "steal_pct": steal_pct,
+        # first-touch fault throughput [run start, run end] — see
+        # fault_canary_mb_s; < ~500 MB/s means every number above carries a
+        # hypervisor memory-overcommit tax no code change can remove
+        "fault_mb_s": [canary0, fault_canary_mb_s()],
         "affinity_cores": len(os.sched_getaffinity(0)),
         "host_cores": os.cpu_count(),
     }

@@ -65,9 +65,14 @@ for _ in range({repeat}):
     loads.append([round(la0, 2), round(os.getloadavg()[0], 2)])
 assert sk["cms"].total() == n_tokens
 best = min(times)
+import numpy as np
+_c = np.empty(64 << 20, dtype=np.uint8)  # first-touch fault canary (see bench.py)
+_t0 = time.perf_counter()
+_c[::4096] = 1
+fault_mb_s = round(64 / (time.perf_counter() - _t0), 1)
 print("RESULT " + json.dumps({{"cores": cores, "sec": best, "n_tokens": int(n_tokens),
                                "tokens_per_sec": n_tokens / best, "times": times,
-                               "loadavg": loads}}))
+                               "loadavg": loads, "fault_mb_s": fault_mb_s}}))
 spark.stop()
 """
 

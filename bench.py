@@ -50,18 +50,18 @@ from sketch_spark.spark.session import get_spark
 TOKEN_DOCS = {"0.001": 600, "0.01": 6_000, "0.1": 60_000}
 
 
+from sketch_spark import mem as _mem
+
+
 def fault_canary_mb_s(mb: int = 64) -> float:
-    """First-touch page-fault throughput (MB/s): allocate `mb` fresh MB and
-    write one byte per 4 KiB page. Healthy hosts fault at GB/s; a hypervisor
-    memory-overcommit episode drops this to ~50 MB/s (measured on this box),
-    which slows every fresh JVM/worker allocation 10-100x while steal%% and
-    loadavg stay low — the one co-tenant failure mode those two can't see."""
-    a = np.empty(mb << 20, dtype=np.uint8)
-    t0 = time.perf_counter()
-    a[::4096] = 1
-    dt = time.perf_counter() - t0
-    del a
-    return round(mb / dt, 1)
+    """First-touch page-fault throughput (MB/s) — see sketch_spark/mem.py
+    for the THP-direct-compaction regime this detects (NumPy faults at
+    ~45 MB/s instead of GB/s while steal%% and loadavg stay quiet). The
+    import of sketch_spark above already auto-tuned this process, so the
+    run-start reading here reflects the POST-tuning environment the
+    timings actually ran under; `hugepage_tuning` in the output records
+    the probe the tuner itself saw."""
+    return _mem.first_touch_mb_s(mb)
 
 
 def main() -> None:
@@ -128,6 +128,7 @@ def main() -> None:
                     "loadavg": {"flagship_xl": [la0, round(os.getloadavg()[0], 2)]},
                     "steal_pct": {"flagship_xl": [xl_steal]},
                     "fault_mb_s": [canary0, fault_canary_mb_s()],
+                    "hugepage_tuning": _mem.last_tuning,
                     "affinity_cores": len(os.sched_getaffinity(0)),
                     "host_cores": os.cpu_count(),
                 }
@@ -310,10 +311,10 @@ def main() -> None:
         # hypervisor steal (% of ALL cpu cycles) during each rep — the
         # co-tenant noise loadavg can't see
         "steal_pct": steal_pct,
-        # first-touch fault throughput [run start, run end] — see
-        # fault_canary_mb_s; < ~500 MB/s means every number above carries a
-        # hypervisor memory-overcommit tax no code change can remove
+        # first-touch fault throughput [run start, run end] plus the
+        # import-time tuner decision — see fault_canary_mb_s / mem.py
         "fault_mb_s": [canary0, fault_canary_mb_s()],
+        "hugepage_tuning": _mem.last_tuning,
         "affinity_cores": len(os.sched_getaffinity(0)),
         "host_cores": os.cpu_count(),
     }

@@ -39,6 +39,20 @@ from sketch_spark.sketches.base import Sketch, register
 
 _U64 = np.uint64
 
+# Accumulation super-chunk (values per bincount pass, a multiple of CHUNK).
+# Unweighted updates process at most this many values at a time so transient
+# index/sign buffers stay O(SUPER), not O(batch): a parquet-direct task can
+# hand update() a whole 19M-token file unit, and nh x n index matrices at
+# that size are ~300 MB/worker (CountSketch ~1 GB with its float64 sign
+# matrix) — 32 workers of that is what memory pressure at scale looks like.
+# Splitting is BIT-EXACT for these paths: CMS partials are int64 bincounts,
+# and CountSketch partials are float64 sums of +-1 signs, integer-valued and
+# far below 2^53, so float addition of partials is exact in any order.
+# Weighted updates (arbitrary float64 counts) keep the single whole-batch
+# bincount — there, partial-sum order would change ULPs, and weighted inputs
+# are pre-aggregated (value, weight) pairs, already far smaller than scans.
+SUPER = CHUNK * 32
+
 
 class _TableSketch(Sketch):
     """Shared layout: (nh, 2^l2sz) counter matrix + seeded row hashes."""
@@ -137,33 +151,45 @@ class CountMinSketch(_TableSketch):
         """Absorb a batch; optional per-item counts (weighted update).
 
         Chunk-outer / row-inner hashing into per-row CONTIGUOUS int32
-        buffers, then one full-length bincount per row: the value array is
-        read from memory ONCE (each chunk stays cache-resident across all
-        nh row hashes — at 32 saturated workers the memory bus, not the
+        buffers, then one bincount per row per SUPER-chunk: the value array
+        is read from memory ONCE (each chunk stays cache-resident across
+        all nh row hashes — at 32 saturated workers the memory bus, not the
         ALU, is the budget), writes are contiguous (the (nh, n) matrix
-        layout's strided column-slab writes measured 4× slower), and the
-        accumulation stays one table pass per row (chunked bincounts would
-        multiply full-table passes). Same indices → same bincounts →
-        byte-identical tables under any layout."""
+        layout's strided column-slab writes measured 4× slower), transient
+        buffers stay O(SUPER) however large the batch, and the extra table
+        passes cost ≤ one w-length add per row per 2M values. Same indices
+        → same integer bincounts → byte-identical tables under any layout
+        or split (see SUPER). Weighted updates stay whole-batch."""
         if len(values) == 0:
             return self
-        u = _u64_vals(values)
         mask = _U64(self.w - 1)
-        c = None if counts is None else np.asarray(counts, dtype=np.float64)
-        rows = [np.empty(len(u), dtype=np.int32) for _ in range(self.nh)]
-        with np.errstate(over="ignore"):
-            for i in range(0, len(u), CHUNK):
-                chunk = u[i : i + CHUNK]
-                hs = self._chunk_hashes(chunk)
-                for r in range(self.nh):
-                    rows[r][i : i + hs.shape[1]] = (hs[r] & mask).astype(np.int32)
-        for r in range(self.nh):
-            if c is None:
-                self.table[r] += np.bincount(rows[r], minlength=self.w).astype(self.dtype)
-            else:
+        if counts is not None:
+            c = np.asarray(counts, dtype=np.float64)
+            u = _u64_vals(values)
+            rows = [np.empty(len(u), dtype=np.int32) for _ in range(self.nh)]
+            with np.errstate(over="ignore"):
+                for i in range(0, len(u), CHUNK):
+                    hs = self._chunk_hashes(u[i : i + CHUNK])
+                    for r in range(self.nh):
+                        rows[r][i : i + hs.shape[1]] = (hs[r] & mask).astype(np.int32)
+            for r in range(self.nh):
                 self.table[r] += np.bincount(rows[r], weights=c, minlength=self.w).astype(
                     self.dtype
                 )
+            return self
+        v = np.asarray(values)
+        rows = [np.empty(min(len(v), SUPER), dtype=np.int32) for _ in range(self.nh)]
+        with np.errstate(over="ignore"):
+            for s in range(0, len(v), SUPER):
+                u = _u64_vals(v[s : s + SUPER])
+                for i in range(0, len(u), CHUNK):
+                    hs = self._chunk_hashes(u[i : i + CHUNK])
+                    for r in range(self.nh):
+                        rows[r][i : i + hs.shape[1]] = (hs[r] & mask).astype(np.int32)
+                for r in range(self.nh):
+                    self.table[r] += np.bincount(rows[r][: len(u)], minlength=self.w).astype(
+                        self.dtype
+                    )
         return self
 
     def query(self, values: np.ndarray) -> np.ndarray:
@@ -221,12 +247,25 @@ class CountSketch(_TableSketch):
     def update(self, values: np.ndarray, counts: np.ndarray | None = None) -> "CountSketch":
         if len(values) == 0:
             return self
-        idx, sign = self._idx_sign(values)
-        w = sign.astype(np.float64)
         if counts is not None:
-            w = w * np.asarray(counts, dtype=np.float64)[None, :]
-        for i in range(self.nh):
-            self.table[i] += np.bincount(idx[i], weights=w[i], minlength=self.w).astype(self.dtype)
+            # whole-batch: arbitrary float weights — see SUPER for why
+            idx, sign = self._idx_sign(values)
+            w = sign.astype(np.float64) * np.asarray(counts, dtype=np.float64)[None, :]
+            for i in range(self.nh):
+                self.table[i] += np.bincount(idx[i], weights=w[i], minlength=self.w).astype(
+                    self.dtype
+                )
+            return self
+        v = np.asarray(values)
+        # O(SUPER) transients; partial sums of +-1 are integer-valued floats,
+        # so accumulation is bit-exact under any split (see SUPER)
+        for s in range(0, len(v), SUPER):
+            idx, sign = self._idx_sign(v[s : s + SUPER])
+            w = sign.astype(np.float64)
+            for i in range(self.nh):
+                self.table[i] += np.bincount(idx[i], weights=w[i], minlength=self.w).astype(
+                    self.dtype
+                )
         return self
 
     def remove(self, values: np.ndarray, counts: np.ndarray | None = None) -> "CountSketch":

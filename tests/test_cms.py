@@ -365,3 +365,27 @@ def test_realccm_guards():
         fresh.accumulate(aged)  # accumulate wants an epoch-0 batch
     with pytest.raises(ValueError):
         DecayedCMS(gamma=0.0)
+
+
+def test_super_chunked_accumulation_bit_identical(monkeypatch):
+    """Unweighted updates accumulate per SUPER-chunk (bounded transients for
+    file-unit-sized batches); the split must be invisible in the bytes —
+    int64 bincounts are exact, and CountSketch partials are float sums of
+    +-1 (integer-valued, far below 2^53), exact in any order."""
+    import sketch_spark.sketches.cms as cms_mod
+    from sketch_spark.sketches.cms import CountSketch, CountSketch4W
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 10_000, size=3_457, dtype=np.int64)
+    for cls in (CountMinSketch, CountSketch, CountSketch4W):
+        monkeypatch.setattr(cms_mod, "SUPER", 1 << 30)
+        whole = cls(l2sz=10, nh=4).update(vals)
+        monkeypatch.setattr(cms_mod, "SUPER", 1000)  # 4 passes + remainder
+        split = cls(l2sz=10, nh=4).update(vals)
+        assert split.to_bytes() == whole.to_bytes(), cls.kind
+        # weighted path (whole-batch) unaffected by the SUPER setting
+        w = rng.integers(1, 9, size=100).astype(np.float64)
+        a = cls(l2sz=10, nh=4).update(vals[:100], counts=w)
+        monkeypatch.setattr(cms_mod, "SUPER", 1 << 30)
+        b = cls(l2sz=10, nh=4).update(vals[:100], counts=w)
+        assert a.to_bytes() == b.to_bytes(), cls.kind

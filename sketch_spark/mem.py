@@ -38,8 +38,17 @@ _PROBE_MB = 8
 # 200 MB/s sits an order of magnitude from both.
 _THRESHOLD_MB_S = 200.0
 
-#: Filled by tune(): {"policy", "probe_mb_s", "probe_after_mb_s", "toggled"}
+#: Filled by tune(): {"policy", "probe_mb_s", "toggled"}
 last_tuning: dict | None = None
+
+# maybe_retune() cadence. The compaction regime flips on minute timescales
+# (observed mid-bench: healthy at import, 20 MB/s by run end), so long-lived
+# executors re-probe while madvise is still ON. The retune probe must exceed
+# glibc's max dynamic mmap threshold (32 MB) so every call faults genuinely
+# fresh pages instead of reading a cached arena.
+RETUNE_INTERVAL_S = 30.0
+_RETUNE_PROBE_MB = 48
+_last_probe_t = 0.0
 
 
 def _set_madvise(enabled: bool) -> bool:
@@ -91,5 +100,31 @@ def tune(threshold_mb_s: float = _THRESHOLD_MB_S) -> dict:
     info["probe_mb_s"] = speed
     if speed < threshold_mb_s and _set_madvise(False):
         info["toggled"] = True
+    global _last_probe_t
+    _last_probe_t = time.monotonic()
     last_tuning = info
     return info
+
+
+def maybe_retune(threshold_mb_s: float = _THRESHOLD_MB_S) -> None:
+    """Periodic one-way ratchet for long-lived processes on the auto policy:
+    while madvise is still ON, re-probe at most every RETUNE_INTERVAL_S and
+    ratchet it OFF if the compaction regime has appeared since import.
+
+    One-way by design: with madvise OFF the probe faults plain 4 KiB pages,
+    which are fast even during a compaction storm, so the same probe cannot
+    detect recovery — and flapping back ON mid-storm is the costly error.
+    Called from make_sketch (every task body's first step), so each executor
+    worker self-checks on its own host; healthy cost is one ~30 ms probe per
+    interval, and a positive immediately stops the ~40× fault tax."""
+    global _last_probe_t
+    if last_tuning is None or last_tuning.get("policy") != "auto" or last_tuning["toggled"]:
+        return
+    now = time.monotonic()
+    if now - _last_probe_t < RETUNE_INTERVAL_S:
+        return
+    _last_probe_t = now
+    speed = first_touch_mb_s(_RETUNE_PROBE_MB)
+    if speed < threshold_mb_s and _set_madvise(False):
+        last_tuning["toggled"] = True
+        last_tuning["retuned_mb_s"] = speed

@@ -72,3 +72,45 @@ def test_kernels_identical_under_either_policy():
         sk.update(vals)
         blobs.append(sk.to_bytes())
     assert blobs[0] == blobs[1]
+
+
+def test_maybe_retune_ratchets_off_when_regime_appears(monkeypatch):
+    monkeypatch.delenv("SKETCH_SPARK_HUGEPAGE", raising=False)
+    monkeypatch.setattr(mem, "first_touch_mb_s", lambda mb=8: 1e9)
+    info = mem.tune()
+    assert info["toggled"] is False
+    # regime flips after import; interval elapsed
+    monkeypatch.setattr(mem, "first_touch_mb_s", lambda mb=8: 1.0)
+    monkeypatch.setattr(mem, "_last_probe_t", 0.0)
+    mem.maybe_retune()
+    assert info["toggled"] is True
+    assert info["retuned_mb_s"] == 1.0
+
+
+def test_maybe_retune_respects_interval_and_is_one_way(monkeypatch):
+    monkeypatch.delenv("SKETCH_SPARK_HUGEPAGE", raising=False)
+    calls = []
+
+    def probe(mb=8):
+        calls.append(mb)
+        return 1e9
+
+    monkeypatch.setattr(mem, "first_touch_mb_s", probe)
+    mem.tune()
+    n0 = len(calls)
+    mem.maybe_retune()  # within interval: no probe
+    assert len(calls) == n0
+    # already-toggled state: never probes again even past the interval
+    mem.last_tuning["toggled"] = True
+    monkeypatch.setattr(mem, "_last_probe_t", 0.0)
+    mem.maybe_retune()
+    assert len(calls) == n0
+
+
+def test_maybe_retune_noop_on_manual_policy(monkeypatch):
+    monkeypatch.setenv("SKETCH_SPARK_HUGEPAGE", "on")
+    mem.tune()
+    monkeypatch.setattr(mem, "_last_probe_t", 0.0)
+    monkeypatch.setattr(mem, "first_touch_mb_s", lambda mb=8: 1.0)
+    mem.maybe_retune()
+    assert mem.last_tuning["toggled"] is False

@@ -25,6 +25,14 @@ from typing import Any, ClassVar
 
 import numpy as np
 
+# Shared sub-batch size for kernels whose update is exactly splittable
+# (min-monoids, additive bucket sums, bottom-k absorbs): a parquet-direct
+# task can hand update() a whole ~19M-value file unit, and materializing
+# O(batch) hash/index temporaries at that size costs hundreds of MB per
+# worker. Updates loop over this many values at a time instead — bounded
+# transients, identical state (each user documents why its split is exact).
+UPDATE_SUPER = 1 << 21
+
 _MAGIC = b"SKSP"
 _VERSION = 1
 

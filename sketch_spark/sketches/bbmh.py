@@ -31,7 +31,7 @@ from typing import Any
 import numpy as np
 
 from sketch_spark.hashing import hash_tokens, wanghash
-from sketch_spark.sketches.base import Sketch, register
+from sketch_spark.sketches.base import UPDATE_SUPER, Sketch, register
 
 _U64 = np.uint64
 _EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -56,11 +56,14 @@ class BBitMinHash(Sketch):
     def update(self, values: np.ndarray) -> "BBitMinHash":
         if len(values) == 0:
             return self
-        hashed = hash_tokens(values, self.seed)
         q = 64 - self.p
-        idx = (hashed >> _U64(q)).astype(np.int64)
-        val = hashed & _U64((1 << q) - 1)
-        np.minimum.at(self.vals, idx, val)
+        # min-monoid: sub-batching is byte-identical; bounds hash/index
+        # temporaries to O(UPDATE_SUPER) for file-unit-sized batches
+        for s in range(0, len(values), UPDATE_SUPER):
+            hashed = hash_tokens(values[s : s + UPDATE_SUPER], self.seed)
+            idx = (hashed >> _U64(q)).astype(np.int64)
+            val = hashed & _U64((1 << q) - 1)
+            np.minimum.at(self.vals, idx, val)
         return self
 
     def merge(self, other: "BBitMinHash") -> "BBitMinHash":
@@ -193,10 +196,12 @@ class DivBBitMinHash(BBitMinHash):
     def update(self, values: np.ndarray) -> "DivBBitMinHash":
         if len(values) == 0:
             return self
-        hashed = hash_tokens(values, self.seed)
         nb = _U64(self.m)
-        idx = (hashed % nb).astype(np.int64)
-        np.minimum.at(self.vals, idx, hashed // nb)
+        # min-monoid: sub-batching byte-identical, transients O(UPDATE_SUPER)
+        for s in range(0, len(values), UPDATE_SUPER):
+            hashed = hash_tokens(values[s : s + UPDATE_SUPER], self.seed)
+            idx = (hashed % nb).astype(np.int64)
+            np.minimum.at(self.vals, idx, hashed // nb)
         return self
 
     def _params(self) -> dict[str, Any]:

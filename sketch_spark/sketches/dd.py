@@ -31,7 +31,7 @@ from typing import Any
 
 import numpy as np
 
-from sketch_spark.sketches.base import Sketch, register
+from sketch_spark.sketches.base import UPDATE_SUPER, Sketch, register
 
 
 def _compact(keys: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -110,19 +110,25 @@ class DDSketch(Sketch):
 
     # ---- monoid ops ----------------------------------------------------------
     def update(self, values: np.ndarray) -> "DDSketch":
-        v = np.asarray(values, dtype=np.float64)
-        v = v[np.isfinite(v)]
-        if len(v) == 0:
-            return self
-        self.zero_count += int((v == 0.0).sum())
-        pos = v[v > 0]
-        if len(pos):
-            k = np.ceil(np.log(pos) / self._lg).astype(np.int64)
-            self._absorb("pos", *_compact(k, np.ones(len(k), dtype=np.int64)))
-        neg = -v[v < 0]
-        if len(neg):
-            k = np.ceil(np.log(neg) / self._lg).astype(np.int64)
-            self._absorb("neg", *_compact(k, np.ones(len(k), dtype=np.int64)))
+        raw = np.asarray(values)
+        # Sub-batched for bounded transients (the float64 cast + log + key
+        # arrays measured ~1.3 GB at a 19M-value file unit). Bucket sums add
+        # associatively, and _collapse runs ONCE at the end, so the final
+        # state is identical to the whole-batch absorb.
+        for s in range(0, len(raw), UPDATE_SUPER):
+            v = np.asarray(raw[s : s + UPDATE_SUPER], dtype=np.float64)
+            v = v[np.isfinite(v)]
+            if len(v) == 0:
+                continue
+            self.zero_count += int((v == 0.0).sum())
+            pos = v[v > 0]
+            if len(pos):
+                k = np.ceil(np.log(pos) / self._lg).astype(np.int64)
+                self._absorb("pos", *_compact(k, np.ones(len(k), dtype=np.int64)))
+            neg = -v[v < 0]
+            if len(neg):
+                k = np.ceil(np.log(neg) / self._lg).astype(np.int64)
+                self._absorb("neg", *_compact(k, np.ones(len(k), dtype=np.int64)))
         self._collapse()
         return self
 

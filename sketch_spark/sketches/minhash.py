@@ -28,7 +28,7 @@ from typing import Any
 import numpy as np
 
 from sketch_spark.hashing import CHUNK, hash_tokens, seeded_hashes, splitmix64
-from sketch_spark.sketches.base import Sketch, register
+from sketch_spark.sketches.base import UPDATE_SUPER, Sketch, register
 
 _MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -150,12 +150,23 @@ class CountingBottomKMinHash(Sketch):
     def update(self, values: np.ndarray, counts: np.ndarray | None = None) -> "CountingBottomKMinHash":
         if len(values) == 0:
             return self
-        hashed = hash_tokens(values, self.seed)
-        c = np.ones(len(hashed), dtype=np.int64) if counts is None else np.asarray(counts, dtype=np.int64)
-        # aggregate duplicate hashes within the batch
-        uniq, inv = np.unique(hashed, return_inverse=True)
-        csum = np.bincount(inv, weights=c).astype(np.int64)
-        return self._absorb(uniq, csum)
+        # Sub-batched absorb is EXACT: any value in the final bottom-k is in
+        # every prefix's bottom-k (eviction needs k smaller hashes, which
+        # would also be in the final set), so its counts accumulate across
+        # absorbs; evicted values can never re-enter. Bounds the per-call
+        # hash+sort transients (measured ~1 GB at a 19M-value file unit) to
+        # O(UPDATE_SUPER).
+        for s in range(0, len(values), UPDATE_SUPER):
+            hashed = hash_tokens(values[s : s + UPDATE_SUPER], self.seed)
+            if counts is None:
+                c = np.ones(len(hashed), dtype=np.int64)
+            else:
+                c = np.asarray(counts[s : s + UPDATE_SUPER], dtype=np.int64)
+            # aggregate duplicate hashes within the sub-batch
+            uniq, inv = np.unique(hashed, return_inverse=True)
+            csum = np.bincount(inv, weights=c).astype(np.int64)
+            self._absorb(uniq, csum)
+        return self
 
     def _absorb(self, uniq: np.ndarray, csum: np.ndarray) -> "CountingBottomKMinHash":
         allv = np.concatenate([self.values, uniq])

@@ -226,7 +226,11 @@ def build_weighted_sketch(
 
 
 def sketch_by_key(
-    df: DataFrame, key: str | list[str], specs: list[SketchSpec], weight_col: str | None = None
+    df: DataFrame,
+    key: str | list[str],
+    specs: list[SketchSpec],
+    weight_col: str | None = None,
+    flush_keys: int | None = None,
 ) -> DataFrame:
     """Grouped sketches, two-phase (scales to high-cardinality keys).
 
@@ -252,6 +256,10 @@ def sketch_by_key(
     composite fine-granularity keys whose states feed
     :func:`rollup_states` (each key column keeps its native type; the
     composite group id costs one extra np.unique per batch).
+
+    ``flush_keys`` (default :data:`FLUSH_KEYS`): map-side accumulator cap —
+    task memory stays O(flush_keys × state size) at ANY key cardinality;
+    exceeding it emits a partial-state batch that the reduce merge absorbs.
     """
     spec_list = [(s.name, s.kind, s.col, dict(s.params), s.is_quantile) for s in specs]
     keys = [key] if isinstance(key, str) else list(key)
@@ -259,7 +267,9 @@ def sketch_by_key(
     key_types = [dtypes[k] for k in keys]
 
     def partial(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        return _keyed_partial(batches, keys, spec_list, weight_col)
+        return _keyed_partial(
+            batches, keys, spec_list, weight_col, flush_keys or FLUSH_KEYS
+        )
 
     cols = sorted({s.col for s in specs} | set(keys) | ({weight_col} if weight_col else set()))
     key_schema = ", ".join(f"{k} {t}" for k, t in zip(keys, key_types))
@@ -309,14 +319,44 @@ def _encode_keys(batch: pa.RecordBatch, keys: list[str]):
     return dense, tuples, arrow_types
 
 
+# Map-side accumulator cap for grouped builds: one sketch per (key, spec)
+# lives in task memory until emitted, so UNBOUNDED key cardinality would be
+# unbounded memory (10M distinct keys x a 16 KB HLL = 160 GB — the classic
+# grouped-agg OOM). When the accumulator passes this many entries it is
+# FLUSHED as a partial-state batch and cleared; the reduce side already
+# merges any number of partials per key, so results are unchanged (the same
+# merge invariance partitioning relies on) and task memory is O(cap x state
+# size) regardless of group count. At the default, worst-case p=14 dense
+# HLLs hold ~0.5 GB; typical grouped sketches are far smaller.
+FLUSH_KEYS = 32_768
+
+
 def _keyed_partial(
-    batches: Iterator[pa.RecordBatch], keys: list[str], spec_list: list[tuple], weight_col: str | None
+    batches: Iterator[pa.RecordBatch], keys: list[str], spec_list: list[tuple],
+    weight_col: str | None, flush_keys: int = FLUSH_KEYS,
 ) -> Iterator[pa.RecordBatch]:
     """Shared map-side combine for grouped builds: fold an Arrow batch
-    stream into one sketch per (key tuple, spec) and emit a single
-    (keys..., name, state) batch — used by both the DataFrame path
+    stream into one sketch per (key tuple, spec), emitting a
+    (keys..., name, state) partial batch at the end — and earlier whenever
+    the accumulator exceeds ``flush_keys`` entries (bounded memory at any
+    key cardinality). Used by both the DataFrame path
     (:func:`sketch_by_key`) and the parquet-direct path
     (:func:`sketch_spark.spark.files.sketch_by_key_from_parquet`)."""
+
+    def emit(acc, arrow_types):
+        items = sorted(acc.items(), key=lambda kv: (repr(kv[0][0]), kv[0][1]))
+        key_cols = [
+            pa.array([k[i] for (k, _), _ in items], arrow_types[i]) for i in range(len(keys))
+        ]
+        return pa.RecordBatch.from_arrays(
+            key_cols
+            + [
+                pa.array([n for (_, n), _ in items], pa.string()),
+                pa.array([s.to_bytes() for _, s in items], pa.binary()),
+            ],
+            names=list(keys) + ["name", "state"],
+        )
+
     acc: dict[tuple[tuple, str], Sketch] = {}
     arrow_types = None
     for batch in batches:
@@ -374,19 +414,11 @@ def _keyed_partial(
                     sk.update(seg)
                 else:
                     sk.update(seg, counts=segw)
+        if len(acc) > flush_keys:
+            yield emit(acc, arrow_types)
+            acc.clear()
     if acc:
-        items = sorted(acc.items(), key=lambda kv: (repr(kv[0][0]), kv[0][1]))
-        key_cols = [
-            pa.array([k[i] for (k, _), _ in items], arrow_types[i]) for i in range(len(keys))
-        ]
-        yield pa.RecordBatch.from_arrays(
-            key_cols
-            + [
-                pa.array([n for (_, n), _ in items], pa.string()),
-                pa.array([s.to_bytes() for _, s in items], pa.binary()),
-            ],
-            names=list(keys) + ["name", "state"],
-        )
+        yield emit(acc, arrow_types)
 
 
 def merge_keyed_states(

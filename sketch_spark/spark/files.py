@@ -149,6 +149,7 @@ def sketch_by_key_from_parquet(
     key: str | list[str],
     specs: list[SketchSpec],
     weight_col: str | None = None,
+    flush_keys: int | None = None,
 ) -> "DataFrame":
     """Grouped sketches, parquet-direct: the fast path of
     :func:`sketch_spark.spark.agg.sketch_by_key` for whole-table builds.
@@ -193,8 +194,12 @@ def sketch_by_key_from_parquet(
     n_slices = min(len(units), max(par, len(units) // 8))
 
     def task(part: Iterable[tuple]) -> Iterator:
+        from sketch_spark.spark.agg import FLUSH_KEYS
+
         batches = _read_unit_batches(part, cols)
-        for out in _keyed_partial(batches, keys, spec_list, weight_col):
+        for out in _keyed_partial(
+            batches, keys, spec_list, weight_col, flush_keys or FLUSH_KEYS
+        ):
             yield from zip(*(out.column(i).to_pylist() for i in range(out.num_columns)))
 
     rdd = spark.sparkContext.parallelize(units, n_slices).mapPartitions(task)

@@ -448,3 +448,26 @@ def test_encode_keys_matches_tuple_grouping():
     truth = {(a, b, c) for a, b, c in zip(k1, k2, k3)}
     used = {tuples[i] for i in set(dense.tolist())}
     assert used == truth  # same id ⟺ same tuple, and every tuple appears
+
+
+def test_sketch_by_key_flush_cap_is_invisible_in_results(spark):
+    """Map-side accumulator flushing (the bounded-memory path for
+    high-cardinality keys) must not change results: a tiny flush_keys forces
+    many mid-partition partial emissions, and the reduce merge must fold
+    them back to the exact bytes of the unflushed build."""
+    rows = [(i % 97, [int(j) for j in range(i % 7 + 1)]) for i in range(2_000)]
+    df = spark.createDataFrame(rows, "k int, tokens array<int>").repartition(4)
+    specs = [
+        SketchSpec("h", "hll", "tokens", {"p": 10}),
+        SketchSpec("b", "bloom", "tokens", {"l2sz": 10, "nh": 3}),
+    ]
+    plain = {
+        (r["k"], r["name"]): bytes(r["state"])
+        for r in sketch_by_key(df, "k", specs).collect()
+    }
+    flushed = {
+        (r["k"], r["name"]): bytes(r["state"])
+        for r in sketch_by_key(df, "k", specs, flush_keys=4).collect()
+    }
+    assert set(plain) == set(flushed) and len(plain) == 97 * 2
+    assert all(flushed[k] == plain[k] for k in plain)

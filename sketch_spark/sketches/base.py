@@ -33,6 +33,37 @@ import numpy as np
 # transients, identical state (each user documents why its split is exact).
 UPDATE_SUPER = 1 << 21
 
+
+def subbatched(fn):
+    """Wrap an update(values[, counts]) whose result is BYTE-IDENTICAL under
+    any batch split (probe-verified per kind) so it processes at most
+    UPDATE_SUPER values per inner call — bounded transients for file-unit
+    batches with zero semantic change. Kinds whose state is deliberately
+    batch-boundary-dependent (pccm/cbf/pcbf/vac/hk — counter-seeded draws)
+    must NOT use this; their batch shaping belongs to the caller."""
+    import functools
+    import inspect
+
+    has_counts = "counts" in inspect.signature(fn).parameters
+
+    @functools.wraps(fn)
+    def wrapper(self, values, counts=None):
+        if counts is not None and not has_counts:
+            raise TypeError(f"{fn.__qualname__} takes no counts")
+        # UPDATE_SUPER read at call time so tests can shrink it
+        step = UPDATE_SUPER
+        if len(values) <= step:
+            return fn(self, values, counts) if has_counts else fn(self, values)
+        for s in range(0, len(values), step):
+            sub = values[s : s + step]
+            if has_counts:
+                fn(self, sub, counts[s : s + step] if counts is not None else None)
+            else:
+                fn(self, sub)
+        return self
+
+    return wrapper
+
 _MAGIC = b"SKSP"
 _VERSION = 1
 

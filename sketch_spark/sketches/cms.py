@@ -35,7 +35,7 @@ from sketch_spark.hashing import (
     seeded_hashes,
     splitmix64,
 )
-from sketch_spark.sketches.base import Sketch, register
+from sketch_spark.sketches.base import Sketch, register, subbatched
 
 _U64 = np.uint64
 
@@ -513,6 +513,7 @@ class DecayedCMS(_TableSketch):
     def _arrays(self) -> dict[str, np.ndarray]:
         return {"table": self.table}
 
+    @subbatched
     def update(self, values: np.ndarray, counts: np.ndarray | None = None) -> "DecayedCMS":
         if len(values) == 0:
             return self

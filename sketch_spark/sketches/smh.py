@@ -37,7 +37,7 @@ from typing import Any
 import numpy as np
 
 from sketch_spark.hashing import hash_tokens, wanghash
-from sketch_spark.sketches.base import Sketch, register
+from sketch_spark.sketches.base import Sketch, register, subbatched
 
 _U64 = np.uint64
 _GOLD = _U64(0x9E3779B97F4A7C15)
@@ -71,6 +71,7 @@ class SuperMinHash(Sketch):
         self.sig = np.full(self.m, np.inf, dtype=np.float64)
 
     # -- monoid ops ----------------------------------------------------------
+    @subbatched
     def update(self, values: np.ndarray) -> "SuperMinHash":
         if len(values) == 0:
             return self

@@ -42,7 +42,7 @@ from typing import Any
 import numpy as np
 
 from sketch_spark.hashing import _u64, wanghash, xxh3_u64
-from sketch_spark.sketches.base import Sketch, from_bytes, make_sketch, register
+from sketch_spark.sketches.base import Sketch, from_bytes, make_sketch, register, subbatched
 from sketch_spark.sketches.cms import CountMinSketch
 
 _U64 = np.uint64
@@ -99,6 +99,7 @@ class WeightedSketcher(Sketch):
         return obj
 
     # ---- monoid ops --------------------------------------------------------
+    @subbatched
     def update(self, values: np.ndarray, counts: np.ndarray | None = None) -> "WeightedSketcher":
         """Absorb a batch of item ids; ``counts`` = pre-aggregated weights.
 

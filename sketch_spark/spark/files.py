@@ -31,7 +31,7 @@ from typing import Iterable, Iterator
 
 from pyspark.sql import SparkSession
 
-from sketch_spark.sketches.base import Sketch, from_bytes
+from sketch_spark.sketches.base import UPDATE_SUPER, Sketch, from_bytes
 from sketch_spark.spark.agg import SketchSpec, _extract_from_array, _keyed_partial, merge_keyed_states
 
 
@@ -72,7 +72,14 @@ def _build_states_for_units(
             table = row_filter(table)
         for name, _, col, _, want_float in spec_list:
             vals = _extract_from_array(table.column(col), want_float)
-            sketches[name].update(vals)
+            # bounded feed: a whole-file unit can be tens of millions of
+            # values; most kinds bound their own transients internally, and
+            # the batch-boundary-dependent kinds (pccm/cbf/pcbf/vac/hk) get
+            # a deterministic fixed-size sequence here — kill/resume and
+            # re-run stay byte-identical because the slicing is a pure
+            # function of the unit
+            for s in range(0, len(vals), UPDATE_SUPER):
+                sketches[name].update(vals[s : s + UPDATE_SUPER])
     if any_unit:
         yield {name: sk.to_bytes() for name, sk in sketches.items()}
 

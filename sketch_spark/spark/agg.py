@@ -461,6 +461,13 @@ def rollup_states(states: DataFrame, keys: list[str]) -> DataFrame:
     accumulation — the reference's combine phase generalized from one
     global merge to any lattice of groupings."""
     dtypes = dict(states.dtypes)
+    missing = [c for c in (*keys, "name", "state") if c not in dtypes]
+    if missing:
+        raise ValueError(
+            f"rollup_states input is missing column(s) {missing}: expected a "
+            "keyed-states table (key columns..., name, state) as produced by "
+            "sketch_by_key / sketch_by_key_from_parquet, not a raw data table"
+        )
     key_types = [dtypes[k] for k in keys]
     return merge_keyed_states(states.select(*keys, "name", "state"), list(keys), key_types)
 

@@ -471,3 +471,11 @@ def test_sketch_by_key_flush_cap_is_invisible_in_results(spark):
     }
     assert set(plain) == set(flushed) and len(plain) == 97 * 2
     assert all(flushed[k] == plain[k] for k in plain)
+
+
+def test_rollup_states_rejects_non_states_table(spark):
+    from sketch_spark.spark.agg import rollup_states
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(ValueError, match="keyed-states table"):
+        rollup_states(df, ["k"])

@@ -87,6 +87,16 @@ class Sketch:
 
     kind: ClassVar[str] = "?"
 
+    # Wire-level hash-family tag. Kinds whose row/bit hash family has ever
+    # changed (Bloom/CMS moved from nh independent seeded WangHashes to
+    # Kirsch-Mitzenmacher double hashing) set this; it rides in the
+    # serialized params as "hf" and from_bytes() REFUSES to deserialize a
+    # state whose recorded family differs from the running code's — states
+    # persisted by pre-KM code would otherwise merge cleanly while indexing
+    # different bit positions, silently corrupting membership/count results
+    # (checkpoint resume dirs are exactly where such states live).
+    hash_family: ClassVar[str | None] = None
+
     # ---- abstract-ish API -------------------------------------------------
     def _params(self) -> dict[str, Any]:
         raise NotImplementedError
@@ -139,8 +149,11 @@ class Sketch:
             z = zlib.compress(raw, 1)
             if len(z) < len(raw) * 0.9:
                 raw, comp = z, "zlib"
+        params = dict(self._params())
+        if self.hash_family is not None:
+            params["hf"] = self.hash_family
         header = json.dumps(
-            {"kind": self.kind, "params": self._params(), "arrays": manifest, "comp": comp},
+            {"kind": self.kind, "params": params, "arrays": manifest, "comp": comp},
             separators=(",", ":"),
             sort_keys=True,
         ).encode()
@@ -183,7 +196,16 @@ def from_bytes(buf: bytes) -> Sketch:
         arr = np.frombuffer(payload[off : off + nbytes], dtype=dt).reshape(m["shape"]).copy()
         arrays[m["name"]] = arr
         off += nbytes
-    return cls._from_state(header["params"], arrays)
+    params = dict(header["params"])
+    hf = params.pop("hf", None)
+    if hf != cls.hash_family:
+        raise ValueError(
+            f"{header['kind']}: hash-family mismatch: state was built with "
+            f"{hf or 'the pre-KM seeded family'}, this code uses "
+            f"{cls.hash_family or 'an untagged family'} — re-build the sketch "
+            f"(merging across families would mix unrelated bit positions)"
+        )
+    return cls._from_state(params, arrays)
 
 
 def make_sketch(kind: str, **params: Any) -> Sketch:

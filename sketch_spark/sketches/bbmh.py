@@ -31,7 +31,8 @@ from typing import Any
 import numpy as np
 
 from sketch_spark.hashing import hash_tokens, wanghash
-from sketch_spark.sketches.base import UPDATE_SUPER, Sketch, register
+from sketch_spark.sketches import base as _base
+from sketch_spark.sketches.base import Sketch, register
 
 _U64 = np.uint64
 _EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -59,8 +60,8 @@ class BBitMinHash(Sketch):
         q = 64 - self.p
         # min-monoid: sub-batching is byte-identical; bounds hash/index
         # temporaries to O(UPDATE_SUPER) for file-unit-sized batches
-        for s in range(0, len(values), UPDATE_SUPER):
-            hashed = hash_tokens(values[s : s + UPDATE_SUPER], self.seed)
+        for s in range(0, len(values), _base.UPDATE_SUPER):
+            hashed = hash_tokens(values[s : s + _base.UPDATE_SUPER], self.seed)
             idx = (hashed >> _U64(q)).astype(np.int64)
             val = hashed & _U64((1 << q) - 1)
             np.minimum.at(self.vals, idx, val)
@@ -198,8 +199,8 @@ class DivBBitMinHash(BBitMinHash):
             return self
         nb = _U64(self.m)
         # min-monoid: sub-batching byte-identical, transients O(UPDATE_SUPER)
-        for s in range(0, len(values), UPDATE_SUPER):
-            hashed = hash_tokens(values[s : s + UPDATE_SUPER], self.seed)
+        for s in range(0, len(values), _base.UPDATE_SUPER):
+            hashed = hash_tokens(values[s : s + _base.UPDATE_SUPER], self.seed)
             idx = (hashed % nb).astype(np.int64)
             np.minimum.at(self.vals, idx, hashed // nb)
         return self

@@ -138,6 +138,9 @@ class _TableSketch(Sketch):
 @register
 class CountMinSketch(_TableSketch):
     kind = "cms"
+    # row indices come from KM double hashing since round 4 — tag the wire
+    # state so pre-KM persisted states refuse to load (see base.hash_family)
+    hash_family = "km2008"
 
     def epsilon(self) -> float:
         """Overestimate bound factor: ε = e / w."""
@@ -367,6 +370,7 @@ class MorrisCMS(_TableSketch):
 
     kind = "pccm"
     dtype = np.uint8
+    hash_family = "km2008"  # inherits the KM default _chunk_hashes
 
     def __init__(self, l2sz: int = 16, nh: int = 4, seed: int = 137, nbits: int = 8):
         if not 2 <= nbits <= 8:
@@ -495,6 +499,7 @@ class DecayedCMS(_TableSketch):
 
     kind = "realccm"
     dtype = np.float64
+    hash_family = "km2008"  # inherits the KM default _chunk_hashes
 
     def __init__(self, l2sz: int = 16, nh: int = 4, seed: int = 137,
                  gamma: float = 0.98, epoch: int = 0):
@@ -513,14 +518,30 @@ class DecayedCMS(_TableSketch):
     def _arrays(self) -> dict[str, np.ndarray]:
         return {"table": self.table}
 
-    @subbatched
     def update(self, values: np.ndarray, counts: np.ndarray | None = None) -> "DecayedCMS":
+        """Unweighted updates sub-batch (partial sums of 1.0s are integer-
+        valued floats far below 2^53 — bit-exact under any split). Weighted
+        updates stay WHOLE-BATCH, mirroring CountMinSketch: arbitrary float
+        weights' partial bincount sums differ in ULPs across split points,
+        and weighted inputs are pre-aggregated (value, weight) pairs, already
+        far smaller than raw scans."""
+        if counts is not None:
+            if len(values) == 0:
+                return self
+            idx = self._row_indices(values)
+            c = np.asarray(counts, dtype=np.float64)
+            for row in range(self.nh):
+                self.table[row] += np.bincount(idx[row], weights=c, minlength=self.w)
+            return self
+        return self._update_unweighted(values)
+
+    @subbatched
+    def _update_unweighted(self, values: np.ndarray) -> "DecayedCMS":
         if len(values) == 0:
             return self
         idx = self._row_indices(values)
-        c = np.ones(idx.shape[1]) if counts is None else np.asarray(counts, dtype=np.float64)
         for row in range(self.nh):
-            self.table[row] += np.bincount(idx[row], weights=c, minlength=self.w)
+            self.table[row] += np.bincount(idx[row], minlength=self.w)
         return self
 
     def decay(self, steps: int = 1) -> "DecayedCMS":

@@ -31,7 +31,8 @@ from typing import Any
 
 import numpy as np
 
-from sketch_spark.sketches.base import UPDATE_SUPER, Sketch, register
+from sketch_spark.sketches import base as _base
+from sketch_spark.sketches.base import Sketch, register
 
 
 def _compact(keys: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -115,8 +116,8 @@ class DDSketch(Sketch):
         # arrays measured ~1.3 GB at a 19M-value file unit). Bucket sums add
         # associatively, and _collapse runs ONCE at the end, so the final
         # state is identical to the whole-batch absorb.
-        for s in range(0, len(raw), UPDATE_SUPER):
-            v = np.asarray(raw[s : s + UPDATE_SUPER], dtype=np.float64)
+        for s in range(0, len(raw), _base.UPDATE_SUPER):
+            v = np.asarray(raw[s : s + _base.UPDATE_SUPER], dtype=np.float64)
             v = v[np.isfinite(v)]
             if len(v) == 0:
                 continue

@@ -28,7 +28,8 @@ from typing import Any
 import numpy as np
 
 from sketch_spark.hashing import CHUNK, hash_tokens, seeded_hashes, splitmix64
-from sketch_spark.sketches.base import UPDATE_SUPER, Sketch, register
+from sketch_spark.sketches import base as _base
+from sketch_spark.sketches.base import Sketch, register
 
 _MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -156,12 +157,12 @@ class CountingBottomKMinHash(Sketch):
         # absorbs; evicted values can never re-enter. Bounds the per-call
         # hash+sort transients (measured ~1 GB at a 19M-value file unit) to
         # O(UPDATE_SUPER).
-        for s in range(0, len(values), UPDATE_SUPER):
-            hashed = hash_tokens(values[s : s + UPDATE_SUPER], self.seed)
+        for s in range(0, len(values), _base.UPDATE_SUPER):
+            hashed = hash_tokens(values[s : s + _base.UPDATE_SUPER], self.seed)
             if counts is None:
                 c = np.ones(len(hashed), dtype=np.int64)
             else:
-                c = np.asarray(counts[s : s + UPDATE_SUPER], dtype=np.int64)
+                c = np.asarray(counts[s : s + _base.UPDATE_SUPER], dtype=np.int64)
             # aggregate duplicate hashes within the sub-batch
             uniq, inv = np.unique(hashed, return_inverse=True)
             csum = np.bincount(inv, weights=c).astype(np.int64)

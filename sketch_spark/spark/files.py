@@ -31,7 +31,8 @@ from typing import Iterable, Iterator
 
 from pyspark.sql import SparkSession
 
-from sketch_spark.sketches.base import UPDATE_SUPER, Sketch, from_bytes
+from sketch_spark.sketches import base as _base
+from sketch_spark.sketches.base import Sketch, from_bytes
 from sketch_spark.spark.agg import SketchSpec, _extract_from_array, _keyed_partial, merge_keyed_states
 
 
@@ -78,8 +79,8 @@ def _build_states_for_units(
             # a deterministic fixed-size sequence here — kill/resume and
             # re-run stay byte-identical because the slicing is a pure
             # function of the unit
-            for s in range(0, len(vals), UPDATE_SUPER):
-                sketches[name].update(vals[s : s + UPDATE_SUPER])
+            for s in range(0, len(vals), _base.UPDATE_SUPER):
+                sketches[name].update(vals[s : s + _base.UPDATE_SUPER])
     if any_unit:
         yield {name: sk.to_bytes() for name, sk in sketches.items()}
 

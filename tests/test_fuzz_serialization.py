@@ -114,3 +114,60 @@ def test_roundtrip_and_resume(kind, data):
     assert back.to_bytes() == blob
     # the restored sketch must keep evolving identically
     assert back.update(more).to_bytes() == sk.update(more).to_bytes()
+
+
+# ---- hash-family wire guard -------------------------------------------------
+# Bloom/CMS bit positions moved from nh seeded WangHashes to Kirsch-
+# Mitzenmacher double hashing in round 4. States persisted by pre-KM code
+# (checkpoint resume dirs) carry no "hf" tag; loading one into KM code and
+# merging would silently mix unrelated bit positions. from_bytes() must
+# refuse instead.
+
+import json as _json
+import zlib as _zlib
+
+import pytest as _pytest
+
+from sketch_spark.sketches import base as _base_mod
+from sketch_spark.sketches.base import from_bytes as _from_bytes
+from sketch_spark.sketches.base import make_sketch as _make_sketch
+
+
+def _strip_hf(buf: bytes) -> bytes:
+    """Rewrite a state frame as pre-KM code would have written it (no hf)."""
+    hlen = int.from_bytes(buf[6:10], "little")
+    header = _json.loads(buf[10 : 10 + hlen].decode())
+    header["params"].pop("hf")
+    h2 = _json.dumps(header, separators=(",", ":"), sort_keys=True).encode()
+    return buf[:6] + len(h2).to_bytes(4, "little") + h2 + buf[10 + hlen :]
+
+
+@_pytest.mark.parametrize(
+    "kind,kw",
+    [
+        ("bloom", {"l2sz": 10, "nh": 4}),
+        ("cms", {"l2sz": 8, "nh": 4}),
+        ("pccm", {"l2sz": 8, "nh": 4}),
+        ("realccm", {"l2sz": 8, "nh": 4}),
+    ],
+)
+def test_pre_km_states_refuse_to_load(kind, kw):
+    import numpy as _np
+
+    sk = _make_sketch(kind, **kw).update(_np.arange(100, dtype=_np.int64))
+    buf = sk.to_bytes()
+    assert _from_bytes(buf) == sk  # tagged round-trip still fine
+    with _pytest.raises(ValueError, match="hash-family mismatch"):
+        _from_bytes(_strip_hf(buf))
+
+
+def test_hf_tag_rides_in_params_only_for_km_kinds():
+    import numpy as _np
+
+    km = _make_sketch("bloom", l2sz=10, nh=4)
+    untagged = _make_sketch("hll", p=10)
+    for sk, expect in ((km, "km2008"), (untagged, None)):
+        buf = sk.to_bytes()
+        hlen = int.from_bytes(buf[6:10], "little")
+        header = _json.loads(buf[10 : 10 + hlen].decode())
+        assert header["params"].get("hf") == expect

@@ -46,9 +46,18 @@ last_tuning: dict | None = None
 # executors re-probe while madvise is still ON. The retune probe must exceed
 # glibc's max dynamic mmap threshold (32 MB) so every call faults genuinely
 # fresh pages instead of reading a cached arena.
+#
+# GEOMETRIC BACKOFF: each healthy probe doubles the interval up to the cap —
+# a long-lived worker that keeps reading healthy converges to one 48 MB probe
+# per 8 minutes instead of one per 30 s (32 workers at the base cadence is
+# ~1.5 GB/interval of probe fault traffic on a DRAM-bound box). A storm that
+# appears late is still caught within one (longer) interval, and the ratchet
+# is one-way anyway — a single positive ends all probing.
 RETUNE_INTERVAL_S = 30.0
+RETUNE_INTERVAL_MAX_S = 480.0
 _RETUNE_PROBE_MB = 48
 _last_probe_t = 0.0
+_retune_interval_s = RETUNE_INTERVAL_S
 
 
 def _set_madvise(enabled: bool) -> bool:
@@ -117,14 +126,19 @@ def maybe_retune(threshold_mb_s: float = _THRESHOLD_MB_S) -> None:
     Called from make_sketch (every task body's first step), so each executor
     worker self-checks on its own host; healthy cost is one ~30 ms probe per
     interval, and a positive immediately stops the ~40× fault tax."""
-    global _last_probe_t
+    global _last_probe_t, _retune_interval_s
     if last_tuning is None or last_tuning.get("policy") != "auto" or last_tuning["toggled"]:
         return
     now = time.monotonic()
-    if now - _last_probe_t < RETUNE_INTERVAL_S:
+    if now - _last_probe_t < _retune_interval_s:
         return
     _last_probe_t = now
     speed = first_touch_mb_s(_RETUNE_PROBE_MB)
+    last_tuning["retune_probes"] = last_tuning.get("retune_probes", 0) + 1
     if speed < threshold_mb_s and _set_madvise(False):
         last_tuning["toggled"] = True
         last_tuning["retuned_mb_s"] = speed
+    else:
+        # healthy reading: back off geometrically (see cadence note above)
+        _retune_interval_s = min(_retune_interval_s * 2.0, RETUNE_INTERVAL_MAX_S)
+        last_tuning["retune_interval_s"] = _retune_interval_s

@@ -2,7 +2,12 @@
 
 from sketch_spark.sketches.base import Sketch, from_bytes, make_sketch, merge_all  # noqa: F401
 from sketch_spark.sketches.bbmh import BBitMinHash, DivBBitMinHash  # noqa: F401
-from sketch_spark.sketches.bloom import BloomFilter, optimal_nhashes  # noqa: F401
+from sketch_spark.sketches.bloom import (  # noqa: F401
+    BloomFilter,
+    optimal_nhashes,
+    optimal_params,
+    size_for_hll,
+)
 from sketch_spark.sketches.cbf import CountingBloomStack, ProbabilisticCountingBloom  # noqa: F401
 from sketch_spark.sketches.cms import CountMinSketch, CountSketch, CountSketch4W  # noqa: F401
 from sketch_spark.sketches.dd import DDSketch  # noqa: F401

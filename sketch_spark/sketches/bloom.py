@@ -37,6 +37,38 @@ def optimal_nhashes(m_bits: int, n_items: int) -> int:
     return max(1, round(math.log(2) * m_bits / max(n_items, 1)))
 
 
+# Fill ratio beyond which a Bloom filter's answers stop meaning anything:
+# at fill = 0.5 the filter is at its design point (optimal nh lands there);
+# past ~0.8 the FPR is tens of percent for any nh and the log1p cardinality
+# inversion is on the near-vertical part of its curve (BASELINE.md records a
+# 2^27-bit filter saturating outright — fill → 1.0, estimate → inf — at
+# ~5×10^8 distinct). Queries warn loudly rather than silently degrade.
+SATURATION_FILL = 0.8
+
+
+def optimal_params(n_items: int, target_fpr: float = 0.01) -> dict:
+    """Size a filter for `n_items` distinct keys at `target_fpr`: the
+    standard m = -n·ln(p)/ln(2)² bits rounded up to a power of two, and
+    nh = ln2·m/n (bf.h:15-20). Feed `n_items` from an HLL pre-estimate
+    (`size_for_hll`) when the distinct count is unknown — the usual case
+    at corpus scale, and exactly the mistake the BASELINE.md saturation
+    entry documents (a filter sized by guess saturating half-way through
+    the build)."""
+    if not 0.0 < target_fpr < 1.0:
+        raise ValueError("target_fpr must be in (0, 1)")
+    n = max(int(n_items), 1)
+    m = -n * math.log(target_fpr) / (math.log(2) ** 2)
+    l2sz = max(6, min(36, math.ceil(math.log2(m))))
+    return {"l2sz": l2sz, "nh": optimal_nhashes(1 << l2sz, n)}
+
+
+def size_for_hll(hll_sketch, target_fpr: float = 0.01, headroom: float = 1.2) -> dict:
+    """Bloom params from an HLL pre-estimate of the key cardinality (one
+    cheap first pass — HLL state is KBs where the Bloom filter is GBs), with
+    `headroom` covering the HLL's own ±1.04/√m error band."""
+    return optimal_params(int(hll_sketch.estimate() * headroom), target_fpr)
+
+
 @register
 class BloomFilter(Sketch):
     kind = "bloom"
@@ -117,8 +149,28 @@ class BloomFilter(Sketch):
         return self
 
     # -- queries ---------------------------------------------------------------
+    def _warn_if_saturated(self, fill: float) -> None:
+        """Loud one-time warning when the filter is past the fill ratio
+        where its answers are meaningless (see SATURATION_FILL). One-time
+        per sketch object: query paths run per Arrow batch and a warning
+        per batch would drown the log."""
+        if fill >= SATURATION_FILL and not getattr(self, "_saturation_warned", False):
+            self._saturation_warned = True
+            import warnings
+
+            warnings.warn(
+                f"BloomFilter is {fill:.0%} full (m=2^{self.l2sz}, nh={self.nh}): "
+                f"FPR ~{fill ** self.nh:.2f} and cardinality estimates are "
+                f"unreliable past {SATURATION_FILL:.0%} fill. Re-size with "
+                f"bloom.optimal_params(n, fpr) — use an HLL pre-estimate "
+                f"(bloom.size_for_hll) when the distinct count is unknown.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+
     def may_contain(self, values: np.ndarray) -> np.ndarray:
         """Boolean array: False = definitely absent (no false negatives)."""
+        self._warn_if_saturated(self.popcount() / self.m)
         if len(values) == 0:
             return np.zeros(0, dtype=bool)
         idx = self._indices(values)  # (nh, n)
@@ -131,11 +183,14 @@ class BloomFilter(Sketch):
 
     def est_fpr(self) -> float:
         """(popcount/m)^nh (reference bf.h:199-202)."""
-        return (self.popcount() / self.m) ** self.nh
+        fill = self.popcount() / self.m
+        self._warn_if_saturated(fill)
+        return fill**self.nh
 
     def cardinality_estimate(self) -> float:
         """-m/nh * ln(1 - fill) (reference bf.h:73-76)."""
         fill = self.popcount() / self.m
+        self._warn_if_saturated(fill)
         if fill >= 1.0:
             return math.inf
         return -(self.m / self.nh) * math.log1p(-fill)

@@ -124,3 +124,44 @@ def test_flags_and_byte_or_scatter_paths_bit_identical():
         small.update(vals[i : i + 100])
     np.testing.assert_array_equal(big.words, small.words)
     assert big.to_bytes() == small.to_bytes()
+
+
+def test_saturation_warns_and_sizing_helpers():
+    import warnings
+
+    from sketch_spark.sketches import bloom as bloom_mod
+    from sketch_spark.sketches.base import make_sketch
+
+    # over-full filter: tiny m, lots of distinct keys -> fill > 0.8
+    bf = make_sketch("bloom", l2sz=8, nh=4)
+    bf.update(np.arange(2_000, dtype=np.int64))
+    assert bf.popcount() / bf.m >= bloom_mod.SATURATION_FILL
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bf.cardinality_estimate()
+        bf.est_fpr()
+        bf.may_contain(np.arange(10, dtype=np.int64))
+    sat = [x for x in w if issubclass(x.category, RuntimeWarning)]
+    assert len(sat) == 1  # loud once, not per call
+    assert "optimal_params" in str(sat[0].message)
+
+    # a healthy filter never warns
+    ok = make_sketch("bloom", l2sz=14, nh=4).update(np.arange(100, dtype=np.int64))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ok.cardinality_estimate()
+    assert not [x for x in w if issubclass(x.category, RuntimeWarning)]
+
+    # sizing helper: measured FPR of a filter sized by it lands near target
+    n, fpr = 50_000, 0.01
+    params = bloom_mod.optimal_params(n, fpr)
+    sized = make_sketch("bloom", **params).update(np.arange(n, dtype=np.int64))
+    probes = np.arange(n, n + 100_000, dtype=np.int64)  # all absent
+    measured = float(sized.may_contain(probes).mean())
+    assert measured <= 3 * fpr
+    assert sized.popcount() / sized.m < bloom_mod.SATURATION_FILL
+
+    # sizing from an HLL pre-estimate matches sizing from the true count
+    hll = make_sketch("hll", p=14).update(np.arange(n, dtype=np.int64))
+    from_hll = bloom_mod.size_for_hll(hll, fpr)
+    assert abs(from_hll["l2sz"] - params["l2sz"]) <= 1

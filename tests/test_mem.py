@@ -114,3 +114,25 @@ def test_maybe_retune_noop_on_manual_policy(monkeypatch):
     monkeypatch.setattr(mem, "first_touch_mb_s", lambda mb=8: 1.0)
     mem.maybe_retune()
     assert mem.last_tuning["toggled"] is False
+
+
+def test_maybe_retune_backs_off_geometrically(monkeypatch):
+    monkeypatch.delenv("SKETCH_SPARK_HUGEPAGE", raising=False)
+    monkeypatch.setattr(mem, "first_touch_mb_s", lambda mb=8: 1e9)
+    mem.tune()
+    monkeypatch.setattr(mem, "_retune_interval_s", mem.RETUNE_INTERVAL_S)
+    # three healthy probes double the interval each time, capped
+    expected = mem.RETUNE_INTERVAL_S
+    for _ in range(8):
+        monkeypatch.setattr(mem, "_last_probe_t", 0.0)
+        mem.maybe_retune()
+        expected = min(expected * 2.0, mem.RETUNE_INTERVAL_MAX_S)
+        assert mem._retune_interval_s == expected
+    assert mem._retune_interval_s == mem.RETUNE_INTERVAL_MAX_S
+    assert mem.last_tuning["retune_probes"] == 8
+    assert mem.last_tuning["retune_interval_s"] == mem.RETUNE_INTERVAL_MAX_S
+    # an unhealthy probe still ratchets off immediately at any interval
+    monkeypatch.setattr(mem, "first_touch_mb_s", lambda mb=8: 1.0)
+    monkeypatch.setattr(mem, "_last_probe_t", 0.0)
+    mem.maybe_retune()
+    assert mem.last_tuning["toggled"] is True

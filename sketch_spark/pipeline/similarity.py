@@ -233,6 +233,7 @@ def kmeans_centroids(
     iters: int = 12,
     seed: int = 7,
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer for IVF: Lloyd's iterations on a
     bounded DRIVER-side sample (deterministic `limit(sample)` — standard
@@ -241,7 +242,12 @@ def kmeans_centroids(
     and centroids are L2-normalized so nearest-centroid = max cosine.
     Empty clusters are reseeded to the farthest-from-its-centroid point,
     keeping exactly ``n_centroids`` live cells. Returns (n_centroids, d)
-    float64 unit rows, fully determined by (data order, seed)."""
+    float64 unit rows, fully determined by (data order, seed).
+
+    ``refine_iters > 0`` follows the sample init with that many DISTRIBUTED
+    Lloyd passes over the full corpus (:func:`kmeans_refine`) — removes the
+    sample-bias asterisk when `limit(sample)` lands on a skewed slice of
+    the data (e.g. a partition-ordered corpus whose head is one cluster)."""
     rows = df.select(vec_col).limit(int(sample)).collect()
     X = np.array([r[vec_col] for r in rows], dtype=np.float64)
     if len(X) < n_centroids:
@@ -268,6 +274,74 @@ def kmeans_centroids(
             m = members.sum(axis=0)
             n = np.linalg.norm(m)
             C[c] = m / n if n > 1e-30 else C[c]
+    if refine_iters > 0:
+        C = kmeans_refine(df, C, iters=refine_iters, vec_col=vec_col)
+    return C
+
+
+def kmeans_refine(
+    df: DataFrame,
+    centroids: np.ndarray,
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd refinement of a spherical-k-means quantizer over the
+    FULL corpus: each pass assigns every vector to its nearest (max-cosine)
+    centroid inside a mapInArrow scan and emits ONE partial row per
+    partition — the per-cell unit-vector sums (k·d doubles) plus counts —
+    so the driver collects kilobytes regardless of corpus size, sums the
+    partials, and renormalizes. Per-batch assignment is one matmul+argmax
+    and the per-cell sums use a sort + segmented ``reduceat`` (no per-row
+    Python, no ``np.add.at`` scatter). Cells that receive no data keep
+    their previous centroid (sample-init already guarantees k live cells).
+
+    This is the standard IVF trick at 100 TB: quantizer TRAINING on a
+    bounded sample, then O(iters) full-data passes whose shuffle payload is
+    k·d·8 bytes per partition — the corpus itself never shuffles."""
+    C = np.asarray(centroids, dtype=np.float64).copy()
+    k, d = C.shape
+    for _ in range(int(iters)):
+        Cb = C
+
+        def partials(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            sums = np.zeros((k, d), dtype=np.float64)
+            cnt = np.zeros(k, dtype=np.int64)
+            for batch in batches:
+                m = _batch_matrix(batch.column(0))
+                if m.shape[0] == 0:
+                    continue
+                m64 = m.astype(np.float64)
+                mn = m64 / np.maximum(np.linalg.norm(m64, axis=1, keepdims=True), 1e-30)
+                assign = np.argmax(mn @ Cb.T, axis=1)
+                order = np.argsort(assign, kind="stable")
+                sa = assign[order]
+                starts = np.flatnonzero(np.r_[True, sa[1:] != sa[:-1]])
+                sums[sa[starts]] += np.add.reduceat(mn[order], starts, axis=0)
+                cnt += np.bincount(assign, minlength=k)
+            if cnt.sum() == 0:
+                return
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([sums.ravel().tolist()], pa.list_(pa.float64())),
+                    pa.array([cnt.tolist()], pa.list_(pa.int64())),
+                ],
+                names=["sums", "counts"],
+            )
+
+        rows = (
+            df.select(vec_col)
+            .mapInArrow(partials, "sums array<double>, counts array<long>")
+            .collect()
+        )
+        tot_sums = np.zeros((k, d), dtype=np.float64)
+        tot_cnt = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            tot_sums += np.asarray(r["sums"], dtype=np.float64).reshape(k, d)
+            tot_cnt += np.asarray(r["counts"], dtype=np.int64)
+        norms = np.linalg.norm(tot_sums, axis=1)
+        live = (tot_cnt > 0) & (norms > 1e-30)
+        C = C.copy()
+        C[live] = tot_sums[live] / norms[live, None]
     return C
 
 

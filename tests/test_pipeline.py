@@ -576,6 +576,73 @@ def test_ivf_topk_full_probe_is_exact(spark, emb_df):
     assert exact == full
 
 
+def test_ivf_refine_fixes_skewed_sample(spark):
+    """Distributed Lloyd refinement (kmeans_refine) vs sample-only init on a
+    corpus whose HEAD is a single cluster — the exact failure mode the
+    driver-sample quantizer has at 100× (limit(sample) lands on one shard
+    of a partition-ordered corpus). Asserts: (a) the spherical-k-means
+    objective (mean max-cosine) strictly improves, (b) the mega-cell
+    deflates (better cell balance → real IVF pruning), (c) ivf_topk recall
+    vs brute force does not regress, and (d) refine_iters=0 is a no-op
+    passthrough of the sample-only centroids."""
+    from sketch_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_cells,
+        ivf_topk,
+        kmeans_centroids,
+        kmeans_refine,
+    )
+
+    rng = np.random.default_rng(42)
+    d, per = 16, 300
+    vecs, order_first = [], []
+    # cluster c = axis e_{2c} + noise; cluster 0 occupies the corpus head
+    for c in range(4):
+        base = np.zeros(d)
+        base[2 * c] = 1.0
+        pts = base + 0.05 * rng.standard_normal((per, d))
+        (order_first if c == 0 else vecs).append(pts)
+    X = np.vstack(order_first + vecs)
+    rows = [(i, X[i].astype(float).tolist()) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(4).cache()
+
+    def objective(C):
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        return float(np.max(Xn @ C.T, axis=1).mean())
+
+    C_sample = kmeans_centroids(df, n_centroids=4, sample=per, seed=3)
+    assert np.array_equal(
+        kmeans_centroids(df, n_centroids=4, sample=per, seed=3, refine_iters=0), C_sample
+    )
+    C_ref = kmeans_refine(df, C_sample, iters=4)
+    assert np.allclose(np.linalg.norm(C_ref, axis=1), 1.0)
+    assert objective(C_ref) > objective(C_sample) + 0.01
+
+    def max_cell(C):
+        cells = [r["cell"] for r in ivf_cells(df, C).collect()]
+        return max(np.bincount(cells, minlength=4))
+
+    # sample-only cells are imbalanced (all centroids sit inside the head
+    # cluster, far clusters land by noise ties); refined cells settle to
+    # one-cluster-per-cell balance
+    assert max_cell(C_sample) > per + 30
+    assert max_cell(C_ref) <= per + 30
+    assert max_cell(C_ref) < max_cell(C_sample)
+
+    qv = np.stack([X[0], X[per], X[2 * per], X[3 * per]])
+    qi = np.array([0, per, 2 * per, 3 * per])
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(df, qv, qi, k=5).collect()}
+
+    def recall(C):
+        got = {(r["query_id"], r["vec_id"]) for r in ivf_topk(df, C, qv, qi, k=5, nprobe=1).collect()}
+        return len(got & exact) / len(exact)
+
+    r_sample, r_ref = recall(C_sample), recall(C_ref)
+    assert r_ref >= r_sample
+    assert r_ref >= 0.9  # refined nprobe=1 resolves each planted cluster
+    df.unpersist()
+
+
 def test_tensor_moments_by_key_matches_local(spark, emb_df):
     """Distributed per-label tensor-moment sketches == a local single-pass
     build per label (merge linearity through the two-phase Spark path),

@@ -11,8 +11,16 @@ Scale shape: the heavy part (building per-group sketches over the raw data)
 is the distributed job; the matrix over the resulting states is tiny
 (|groups|² pairs of ≤KB states) and runs driver-side in NumPy — same
 division of labor as the reference, where the matrix functions take already-
-built sketches. For very large |groups| use ``pairwise_df`` which distributes
-the pair loop with a states self-join."""
+built sketches.
+
+Large-K route: above a few thousand groups the K²/2 pairs no longer belong
+on the driver — use ``pairwise_df``, which broadcasts the states table
+(K·≤KB — megabytes at K=10k) against a hash-spread copy of itself and
+scores pairs in Arrow-batched pandas UDF calls with per-batch
+deserialization caching, so each distinct state is decoded once per batch
+rather than once per pair. ``pairwise_similarity`` refuses K above
+``max_driver_keys`` and points here. The output is K·(K−1)/2 rows — keep
+it a DataFrame (filter/top-k/sink) rather than collecting."""
 
 from __future__ import annotations
 
@@ -39,14 +47,27 @@ def _score(metric: str, a, b) -> float:
 
 
 def pairwise_similarity(
-    states: DataFrame, key: str, metric: str = "jaccard", name: str | None = None
+    states: DataFrame,
+    key: str,
+    metric: str = "jaccard",
+    name: str | None = None,
+    max_driver_keys: int = 4096,
 ) -> DataFrame:
     """All-pairs similarity from a (key, name, state) states DataFrame
     (driver-side loop over collected states — states are KBs; the data-heavy
-    phase already happened in sketch_by_key)."""
+    phase already happened in sketch_by_key). Guarded: K² pairs above
+    ``max_driver_keys`` don't belong on the driver — use :func:`pairwise_df`
+    (raises with that pointer)."""
     if metric not in _METRICS:
         raise ValueError(f"unknown metric {metric!r}; have {_METRICS}")
     sdf = states if name is None else states.where(F.col("name") == name)
+    n_keys = sdf.count()
+    if n_keys > max_driver_keys:
+        raise ValueError(
+            f"{n_keys} groups -> {n_keys * (n_keys - 1) // 2} driver-side pairs; "
+            f"above max_driver_keys={max_driver_keys}. Use pairwise_df() — the "
+            "distributed large-K route — or raise max_driver_keys explicitly."
+        )
     rows = sdf.select(key, "state").collect()
     sketches = {r[key]: from_bytes(bytes(r["state"])) for r in rows}
     spark = states.sparkSession
@@ -59,9 +80,22 @@ def pairwise_similarity(
 
 
 def pairwise_df(states: DataFrame, key: str, metric: str = "jaccard") -> DataFrame:
-    """Distributed variant: broadcast self-join of the states table + a
-    pandas UDF scoring each pair — for when |groups| is large enough that
-    n²/2 driver-side pairs would not fit (the shuffle moves only states)."""
+    """Distributed all-pairs — the documented large-K route.
+
+    Plan shape (plan-audited in tests at 10k keys): the right copy of the
+    states table is BROADCAST (K·≤KB — megabytes at K=10k, well under the
+    10 MB default only for small states; Spark streams larger broadcasts
+    fine to hundreds of MB) and nested-loop-joined under ``key_a < key_b``
+    against a left copy hash-REPARTITIONED on the key, so the inherent
+    O(K²) comparison work spreads across all cores/executors instead of
+    riding the states table's (usually tiny) partitioning. No shuffle of
+    anything but the K kilobyte states themselves; output is the
+    K·(K−1)/2 pair rows.
+
+    Scoring: Arrow-batched pandas UDF with a per-batch deserialization
+    cache — each distinct state decodes once per batch (metric methods are
+    non-mutating, same contract the driver loop relies on), so per-pair
+    cost is the metric arithmetic, not zlib+parse."""
     if metric not in _METRICS:
         raise ValueError(f"unknown metric {metric!r}; have {_METRICS}")
 
@@ -69,11 +103,22 @@ def pairwise_df(states: DataFrame, key: str, metric: str = "jaccard") -> DataFra
     def score(sa, sb):
         import pandas as pd
 
-        return pd.Series(
-            [_score(metric, from_bytes(bytes(a)), from_bytes(bytes(b))) for a, b in zip(sa, sb)]
-        )
+        cache: dict[bytes, object] = {}
 
-    l = states.select(F.col(key).alias("key_a"), F.col("state").alias("sa"))
+        def get(b):
+            bb = bytes(b)
+            s = cache.get(bb)
+            if s is None:
+                s = cache[bb] = from_bytes(bb)
+            return s
+
+        return pd.Series([_score(metric, get(a), get(b)) for a, b in zip(sa, sb)])
+
+    spark = states.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    l = states.select(F.col(key).alias("key_a"), F.col("state").alias("sa")).repartition(
+        n_parts, "key_a"
+    )
     r = states.select(F.col(key).alias("key_b"), F.col("state").alias("sb"))
     return (
         l.join(F.broadcast(r), F.col("key_a") < F.col("key_b"))

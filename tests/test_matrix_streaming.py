@@ -54,6 +54,51 @@ def test_pairwise_unknown_metric_raises(spark, overlap_states):
         pairwise_similarity(overlap_states, "source", "cosine")
 
 
+def test_pairwise_driver_loop_refuses_large_k(spark, overlap_states):
+    """The driver loop is for small K; above max_driver_keys it must point
+    at the distributed route instead of silently materializing K²/2 rows."""
+    one = overlap_states.select("source", "state").limit(1).collect()[0]
+    big = spark.range(5000).select(
+        F.concat(F.lit("g"), F.col("id")).alias("source"),
+        F.lit(bytearray(bytes(one["state"]))).alias("state"),
+    )
+    with pytest.raises(ValueError, match="pairwise_df"):
+        pairwise_similarity(big, "source")
+    # explicit opt-out still works
+    assert pairwise_similarity(
+        overlap_states, "source", max_driver_keys=1_000_000
+    ).count() == 1
+
+
+def test_pairwise_df_plan_at_10k_keys(spark, overlap_states):
+    """Plan audit of the large-K route at 10k keys: the right states copy
+    is broadcast (no shuffle of the pair space, no CartesianProduct), the
+    left copy is hash-repartitioned so the O(K²) comparison work spreads
+    across every core, and the pair count is exactly K·(K−1)/2 (verified
+    on a 300-key slice — counting 50M scored pairs is a bench, not a
+    unit test)."""
+    one = overlap_states.select("state").limit(1).collect()[0]
+    blob = bytearray(bytes(one["state"]))
+
+    def states_of(n):
+        return spark.range(n).select(
+            F.concat(F.lit("g"), F.format_string("%05d", F.col("id"))).alias("source"),
+            F.lit(blob).alias("state"),
+        )
+
+    plan = pairwise_df(states_of(10_000), "source")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast right + K<K filter
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "hashpartitioning(key_a" in plan  # left spread across cores
+
+    n = 300
+    out = pairwise_df(states_of(n), "source")
+    assert out.count() == n * (n - 1) // 2
+    # self-pairs score 1.0 under jaccard — also exercises the per-batch cache
+    assert out.agg(F.min("value"), F.max("value")).first() == (1.0, 1.0)
+
+
 # ---------------- streaming ------------------------------------------------------
 
 

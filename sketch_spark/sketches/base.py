@@ -97,6 +97,12 @@ class Sketch:
     # (checkpoint resume dirs are exactly where such states live).
     hash_family: ClassVar[str | None] = None
 
+    # Kinds whose update() consumes fixed-dimension VECTORS (one (n, d)
+    # matrix per batch — tensorsketch) rather than a flat value stream.
+    # Generic feeders (e.g. the streaming state-store path) stack list
+    # columns row-wise for these instead of concatenating them flat.
+    consumes_vectors: ClassVar[bool] = False
+
     # ---- abstract-ish API -------------------------------------------------
     def _params(self) -> dict[str, Any]:
         raise NotImplementedError

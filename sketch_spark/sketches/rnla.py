@@ -248,6 +248,7 @@ class TensorSketch(Sketch):
     bilinearly)."""
 
     kind = "tensorsketch"
+    consumes_vectors = True  # update() takes (n, d) matrices, not flat values
 
     def __init__(self, d: int = 64, d_out: int = 4096, degree: int = 2, ns: int = 4, seed: int = 101):
         if not 1 <= d <= (1 << 20):

@@ -40,6 +40,16 @@ def _values_from_pdf(pdf: pd.DataFrame, col: str, want_float: bool) -> np.ndarra
     return v.astype(np.int64) if v.dtype.kind == "f" else v
 
 
+def _matrix_from_pdf(pdf: pd.DataFrame, col: str) -> np.ndarray:
+    """(n, d) float matrix from a list column — for vector-consuming kinds
+    (``Sketch.consumes_vectors``), which take one fixed-dimension vector
+    per ROW rather than a flat value stream."""
+    s = pdf[col]
+    if not len(s):
+        return np.empty((0, 0), dtype=np.float64)
+    return np.stack([np.asarray(x, dtype=np.float64) for x in s])
+
+
 def stateful_sketch_by_key(
     stream: DataFrame, key: str, spec: SketchSpec
 ) -> DataFrame:
@@ -62,10 +72,15 @@ def stateful_sketch_by_key(
         else:
             sk = make_sketch(kind, **params)
             n_seen = 0
+        as_vectors = getattr(type(sk), "consumes_vectors", False)
         for pdf in pdfs:
-            vals = _values_from_pdf(pdf, col, want_float)
+            if as_vectors:
+                vals = _matrix_from_pdf(pdf, col)
+            else:
+                vals = _values_from_pdf(pdf, col, want_float)
             n_seen += len(pdf)
-            sk.update(vals)
+            if len(vals):
+                sk.update(vals)
         blob = sk.to_bytes()
         state.update((bytearray(blob), n_seen))
         if hasattr(sk, "estimate"):

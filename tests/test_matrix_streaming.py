@@ -292,10 +292,26 @@ def test_streaming_decayed_cms_recency_weighting(spark, tmp_path):
     assert acc.epoch == 2
 
 
-def test_stateful_streaming_round3_maxmonoid_kind(spark, fixtures, tmp_path):
-    """phll (round 3) through the state-store path: a true max-monoid, so
-    the drained per-key states must byte-match the batch grouped build,
-    like hll — the streaming layer is kind-agnostic by construction."""
+@pytest.mark.parametrize(
+    "kind,params,exact",
+    [
+        # phll: true max-monoid (round 3) — byte-identical under any
+        # micro-batching. csvec: linear with unit ±1 weights → integer
+        # bucket sums, exact in float64 under any merge order → also
+        # byte-identical. wzcs: ±Exp float amplitudes, so stream order vs
+        # the batch build's partition-merge order differ in summation
+        # association — ULP-close tables, same guarantee class as the
+        # kind's own merge docstring. The state-store layer is
+        # kind-agnostic across all three.
+        ("phll", {"p": 12}, True),
+        ("csvec", {"d_out": 256, "ns": 4}, True),
+        ("wzcs", {"d_out": 256, "ns": 4, "p": 1.0}, False),
+    ],
+)
+def test_stateful_streaming_kind_generic(spark, fixtures, tmp_path, kind, params, exact):
+    """Rotating non-HLL kinds through the applyInPandasWithState path: the
+    drained per-key states must match the batch grouped build (byte-equal
+    for order-invariant kinds, ULP-close tables otherwise)."""
     import os
 
     from sketch_spark.streaming import stateful_sketch_by_key
@@ -308,7 +324,7 @@ def test_stateful_streaming_round3_maxmonoid_kind(spark, fixtures, tmp_path):
         .option("maxFilesPerTrigger", "4")
         .parquet(input_dir)
     )
-    spec = SketchSpec("p", "phll", "tokens", {"p": 12})
+    spec = SketchSpec("p", kind, "tokens", params)
     out = stateful_sketch_by_key(stream, "source", spec)
     sink = str(tmp_path / "sink")
 
@@ -333,8 +349,69 @@ def test_stateful_streaming_round3_maxmonoid_kind(spark, fixtures, tmp_path):
         for r in sketch_by_key(spark.read.parquet(input_dir), "source", [spec]).collect()
     }
     assert set(final) == set(want)
+    from sketch_spark.sketches import from_bytes
+
     for k, w in want.items():
-        assert bytes(final[k]["state"]) == w, k
+        got = bytes(final[k]["state"])
+        if exact:
+            assert got == w, k
+        else:
+            a, b = from_bytes(got), from_bytes(w)
+            np.testing.assert_allclose(a.table, b.table, rtol=1e-9, atol=1e-12)
+
+
+def test_stateful_streaming_vector_kind_tensorsketch(spark, tmp_path):
+    """tensorsketch through the state store: vector-consuming kinds
+    (``consumes_vectors``) must get ROW-stacked (n, d) matrices, not a
+    flat concatenation (flattening a d=8 vector stream into scalars would
+    silently sketch the wrong object). Drained states must match the
+    directly-fed per-key batch sketch up to float summation order."""
+    from sketch_spark.sketches import from_bytes, make_sketch
+    from sketch_spark.streaming import stateful_sketch_by_key
+
+    rng = np.random.default_rng(11)
+    d_in, n = 8, 240
+    keys = rng.integers(0, 3, n)
+    vecs = rng.normal(size=(n, d_in)).round(3)
+    pdf_rows = [(f"k{k}", [float(x) for x in v]) for k, v in zip(keys, vecs)]
+    df = spark.createDataFrame(pdf_rows, "grp string, emb array<double>")
+    input_dir = str(tmp_path / "in")
+    df.repartition(6).write.parquet(input_dir)
+
+    params = {"d": d_in, "d_out": 64, "degree": 2, "ns": 2, "seed": 7}
+    spec = SketchSpec("ts", "tensorsketch", "emb", params)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(input_dir)
+    )
+    out = stateful_sketch_by_key(stream, "grp", spec)
+    sink = str(tmp_path / "sink")
+
+    def write(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(sink)
+
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(write)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(sink).collect()
+    final = {}
+    for r in rows:
+        if r["key"] not in final or r["batch_id"] > final[r["key"]]["batch_id"]:
+            final[r["key"]] = r
+    assert set(final) == {"k0", "k1", "k2"}
+    for kname in ("k0", "k1", "k2"):
+        want = make_sketch("tensorsketch", **params)
+        mask = np.array([f"k{k}" == kname for k in keys])
+        want.update(vecs[mask])
+        got = from_bytes(bytes(final[kname]["state"]))
+        assert final[kname]["n_rows"] == int(mask.sum())
+        np.testing.assert_allclose(got.table, want.table, rtol=1e-9, atol=1e-12)
 
 
 def test_streaming_states_roll_up_to_batch_global(spark, fixtures):

@@ -29,6 +29,7 @@ from __future__ import annotations
 import os
 from typing import Iterable, Iterator
 
+import pyarrow as pa
 from pyspark.sql import SparkSession
 
 from sketch_spark.sketches import base as _base
@@ -134,9 +135,26 @@ def _fold_objects(dicts: Iterable[dict[str, bytes]]) -> dict[str, Sketch]:
     return acc
 
 
+# Spark SQL type → the Arrow type Spark's Python runner expects for that
+# column in a mapInArrow OUTPUT batch (Spark does not cast here — the task
+# normalizes parquet-dialect types like large_string to these). Timestamp
+# keys are handled separately: their Arrow type carries the session
+# timezone, read from the conf at plan time.
+_SPARK_TO_ARROW = {
+    "tinyint": pa.int8(),
+    "smallint": pa.int16(),
+    "int": pa.int32(),
+    "bigint": pa.int64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "string": pa.string(),
+    "date": pa.date32(),
+    "boolean": pa.bool_(),
+}
+
 # minimal pyarrow → Spark SQL type map for GROUP-KEY columns (the key rides
-# through createDataFrame and the phase-2 merge schema; value columns never
-# need this — they stay NumPy inside the task)
+# through the phase-1 partial batches and the phase-2 merge schema; value
+# columns never need this — they stay NumPy inside the task)
 _ARROW_TO_SPARK = {
     "int8": "tinyint",
     "int16": "smallint",
@@ -201,20 +219,50 @@ def sketch_by_key_from_parquet(
     units = _plan_units(files, par)
     n_slices = min(len(units), max(par, len(units) // 8))
 
-    def task(part: Iterable[tuple]) -> Iterator:
+    # Arrow-native phase-1 handoff: the partial batches `_keyed_partial`
+    # emits are ALREADY Arrow, so ship them through mapInArrow unchanged
+    # instead of round-tripping per-key states through to_pylist() +
+    # createDataFrame (Python-object materialization of every state blob).
+    # The units ride in as a tiny DataFrame built from a parallelize() RDD,
+    # which keeps the deterministic range slicing of the unit list (a
+    # repartition() round-robin would not be retry-stable, and unit→task
+    # assignment is part of the byte-identity story for the
+    # batch-boundary-dependent kinds).
+    session_tz = spark.conf.get("spark.sql.session.timeZone")
+    target = pa.schema(
+        [
+            pa.field(
+                k,
+                pa.timestamp("us", tz=session_tz) if t == "timestamp" else _SPARK_TO_ARROW[t],
+            )
+            for k, t in zip(keys, key_types)
+        ]
+        + [pa.field("name", pa.string()), pa.field("state", pa.binary())]
+    )
+
+    def task(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from sketch_spark.spark.agg import FLUSH_KEYS
 
-        batches = _read_unit_batches(part, cols)
+        def unit_stream():
+            for b in it:
+                yield from zip(
+                    b.column(0).to_pylist(), b.column(1).to_pylist(), b.column(2).to_pylist()
+                )
+
+        batches = _read_unit_batches(unit_stream(), cols)
         for out in _keyed_partial(
             batches, keys, spec_list, weight_col, flush_keys or FLUSH_KEYS
         ):
-            yield from zip(*(out.column(i).to_pylist() for i in range(out.num_columns)))
+            # parquet key types can differ in spelling from Spark's Arrow
+            # dialect (large_string, naive timestamps) — normalize
+            yield out if out.schema == target else out.cast(target)
 
-    rdd = spark.sparkContext.parallelize(units, n_slices).mapPartitions(task)
+    unit_rows = spark.sparkContext.parallelize(list(units), n_slices)
+    units_df = spark.createDataFrame(unit_rows, "path string, rg_lo int, rg_hi int")
     schema = ", ".join(
         [f"{k} {t}" for k, t in zip(keys, key_types)] + ["name string", "state binary"]
     )
-    partials = spark.createDataFrame(rdd, schema)
+    partials = units_df.mapInArrow(task, schema)
     return merge_keyed_states(partials, keys, key_types)
 
 

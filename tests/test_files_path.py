@@ -171,6 +171,34 @@ def test_grouped_parquet_direct_weighted(spark, fixtures):
     assert got == pytest.approx(exact)
 
 
+def test_grouped_parquet_direct_timestamp_key_parity(spark, tmp_path):
+    """Timestamp group keys through the Arrow-native phase-1 handoff: parquet
+    stores them naive (timestamp[us]) while Spark's mapInArrow output dialect
+    wants the session timezone attached — the task's schema cast must yield
+    the SAME key instants (and byte-equal states) as the DataFrame path."""
+    import datetime
+
+    from sketch_spark.spark.agg import sketch_by_key
+    from sketch_spark.spark.files import sketch_by_key_from_parquet
+
+    base = datetime.datetime(2026, 3, 1)
+    rows = [
+        (base + datetime.timedelta(hours=i % 5), 1000 + i) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, uid bigint")
+    path = str(tmp_path / "ts_tbl")
+    df.repartition(3).write.parquet(path)
+
+    specs = [SketchSpec("h", "hll", "uid", {"p": 10})]
+    via_df = {r["ts"]: bytes(r["state"]) for r in sketch_by_key(
+        spark.read.parquet(path), "ts", specs).collect()}
+    out = sketch_by_key_from_parquet(spark, path, "ts", specs)
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    via_files = {r["ts"]: bytes(r["state"]) for r in out.collect()}
+    assert via_files == via_df
+    assert len(via_files) == 5
+
+
 def test_grouped_parquet_direct_int_key_and_bad_key(spark, fixtures):
     """Numeric group keys keep their native type; unsupported arrow key
     types fail fast driver-side."""

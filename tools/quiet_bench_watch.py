@@ -1,0 +1,173 @@
+"""Quiet-window headline bench capture.
+
+The sf0.1 headline numbers are only meaningful when the host is not in a
+steal burst or a THP compaction storm (BASELINE.md "host regime" notes) —
+both flip on minute timescales here.  This watcher probes the regime
+cheaply every few minutes and runs the FULL ``bench.py --json-extra`` only
+when a probe reads quiet, then qualifies the resulting artifact:
+
+  * ``token_hll_build`` min-of-3 <= QUALIFY_THLL_S (the round-4 verdict's
+    bar: the quiet-window claim must be a committed JSON, not prose),
+  * steal <= QUALIFY_STEAL_PCT on every token_hll_build rep,
+  * both in-bench fault-canary probes healthy (>= QUALIFY_FAULT_MB_S —
+    i.e. the bench itself did not run inside a compaction storm).
+
+A qualifying run is written to BENCH_QUIET_r05.json and the watcher exits.
+If the deadline passes first, the BEST attempt is written instead with
+``qualified: false`` and every probe/attempt logged under ``regime_log`` —
+the day's regime documented inside the artifact, per the verdict's
+fallback.  Either way the artifact is self-describing.
+
+Usage:  python tools/quiet_bench_watch.py [--hours 3] [--out BENCH_QUIET_r05.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PROBE_INTERVAL_S = 180.0
+STEAL_WINDOW_S = 5.0
+# Gate thresholds for *starting* a bench attempt (cheap probe):
+GATE_STEAL_PCT = 1.5
+GATE_FAULT_MB_S = 1000.0
+GATE_LOADAVG = 4.0
+# Qualification thresholds for the *artifact* (from the round-4 verdict):
+QUALIFY_THLL_S = 1.7
+QUALIFY_STEAL_PCT = 2.0
+QUALIFY_FAULT_MB_S = 200.0
+
+
+def steal_pct(window_s: float = STEAL_WINDOW_S) -> float:
+    """CPU steal%% over a short window, from /proc/stat deltas."""
+
+    def snap():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+
+    s0, t0 = snap()
+    time.sleep(window_s)
+    s1, t1 = snap()
+    return round(100.0 * (s1 - s0) / max(1, t1 - t0), 2)
+
+
+def fresh_fault_mb_s() -> float:
+    """First-touch throughput in a FRESH process (same-process repeats read
+    allocator-arena reuse, not true fresh-page cost — mem.py docstring)."""
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); "
+         "from sketch_spark.mem import first_touch_mb_s; print(first_touch_mb_s())" % REPO],
+        capture_output=True, text=True, timeout=120,
+    )
+    try:
+        return float(out.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        return -1.0
+
+
+def probe() -> dict:
+    return {
+        "t": round(time.time(), 1),
+        "steal_pct": steal_pct(),
+        "fault_mb_s": fresh_fault_mb_s(),
+        "loadavg1": round(os.getloadavg()[0], 2),
+    }
+
+
+def run_bench() -> dict | None:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--json-extra"],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def qualifies(art: dict) -> tuple[bool, list[str]]:
+    reasons = []
+    thll = art.get("queries", {}).get("token_hll_build")
+    if thll is None or thll > QUALIFY_THLL_S:
+        reasons.append(f"token_hll_build {thll} > {QUALIFY_THLL_S}s")
+    steals = art.get("steal_pct", {}).get("token_hll_build", [])
+    if not steals or max(steals) > QUALIFY_STEAL_PCT:
+        reasons.append(f"steal {steals} exceeds {QUALIFY_STEAL_PCT}%")
+    canary = art.get("fault_mb_s") or []
+    if not canary or min(canary) < QUALIFY_FAULT_MB_S:
+        reasons.append(f"fault canary {canary} below {QUALIFY_FAULT_MB_S} MB/s")
+    return (not reasons), reasons
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hours", type=float, default=3.0)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_QUIET_r05.json"))
+    ap.add_argument("--probe-interval", type=float, default=PROBE_INTERVAL_S)
+    args = ap.parse_args()
+
+    deadline = time.time() + args.hours * 3600.0
+    regime_log: list[dict] = []
+    best: dict | None = None
+
+    while time.time() < deadline:
+        p = probe()
+        quiet = (
+            p["steal_pct"] <= GATE_STEAL_PCT
+            and p["fault_mb_s"] >= GATE_FAULT_MB_S
+            and p["loadavg1"] <= GATE_LOADAVG
+        )
+        p["quiet"] = quiet
+        print(json.dumps(p), flush=True)
+        if quiet:
+            p["attempted_bench"] = True
+            art = run_bench()
+            if art is not None:
+                ok, reasons = qualifies(art)
+                total = art.get("value", float("inf"))
+                print(f"bench attempt: total={total} qualified={ok} {reasons}", flush=True)
+                p["bench_total_s"] = total
+                p["disqualify"] = reasons
+                if best is None or total < best.get("value", float("inf")):
+                    best = art
+                if ok:
+                    art["qualified"] = True
+                    art["regime_log"] = regime_log + [p]
+                    with open(args.out, "w") as f:
+                        json.dump(art, f, indent=1)
+                    print(f"QUALIFIED -> {args.out}", flush=True)
+                    return 0
+        regime_log.append(p)
+        time.sleep(max(0.0, min(args.probe_interval, deadline - time.time())))
+
+    # Deadline: commit the best attempt with the day's regime documented.
+    if best is not None:
+        best["qualified"] = False
+        best["regime_log"] = regime_log
+        with open(args.out, "w") as f:
+            json.dump(best, f, indent=1)
+        print(f"deadline; best (unqualified) -> {args.out}", flush=True)
+        return 2
+    # Never even got a quiet probe: record the regime alone.
+    with open(args.out, "w") as f:
+        json.dump({"qualified": False, "no_attempt": True, "regime_log": regime_log}, f, indent=1)
+    print("deadline; no quiet window observed", flush=True)
+    return 3
+
+
+if __name__ == "__main__":
+    sys.exit(main())

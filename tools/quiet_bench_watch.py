@@ -72,11 +72,15 @@ def steal_pct(window_s: float = STEAL_WINDOW_S) -> float:
 
 def fresh_fault_mb_s() -> float:
     """First-touch throughput in a FRESH process (same-process repeats read
-    allocator-arena reuse, not true fresh-page cost — mem.py docstring)."""
+    allocator-arena reuse, not true fresh-page cost — mem.py docstring).
+    64 MB, matching bench.py's canary: the default 8 MB probe reads
+    optimistically (observed 1.2-1.7 GB/s here while the 64 MB in-bench
+    canary read 40-100 MB/s in the same minute) because small fresh
+    allocations can dodge the compaction path."""
     out = subprocess.run(
         [sys.executable, "-c",
          "import sys; sys.path.insert(0, %r); "
-         "from sketch_spark.mem import first_touch_mb_s; print(first_touch_mb_s())" % REPO],
+         "from sketch_spark.mem import first_touch_mb_s; print(first_touch_mb_s(64))" % REPO],
         capture_output=True, text=True, timeout=120,
     )
     try:
@@ -114,9 +118,19 @@ def qualifies(art: dict) -> tuple[bool, list[str]]:
     thll = art.get("queries", {}).get("token_hll_build")
     if thll is None or thll > QUALIFY_THLL_S:
         reasons.append(f"token_hll_build {thll} > {QUALIFY_THLL_S}s")
+    # The reported value is the MIN rep, so judge the steal of THAT rep:
+    # a steal burst inflates its own rep (which then isn't the min), it
+    # doesn't contaminate the others. all_reps and steal_pct are aligned.
+    reps = art.get("all_reps", {}).get("token_hll_build", [])
     steals = art.get("steal_pct", {}).get("token_hll_build", [])
-    if not steals or max(steals) > QUALIFY_STEAL_PCT:
-        reasons.append(f"steal {steals} exceeds {QUALIFY_STEAL_PCT}%")
+    if not reps or not steals or len(reps) != len(steals):
+        reasons.append(f"missing/misaligned reps {reps} / steal {steals}")
+    else:
+        i_min = min(range(len(reps)), key=reps.__getitem__)
+        if steals[i_min] > QUALIFY_STEAL_PCT:
+            reasons.append(
+                f"min rep's steal {steals[i_min]} > {QUALIFY_STEAL_PCT}% (reps {reps}, steal {steals})"
+            )
     canary = art.get("fault_mb_s") or []
     if not canary or canary[0] < QUALIFY_FAULT_MB_S:
         reasons.append(f"start fault canary {canary} below {QUALIFY_FAULT_MB_S} MB/s")

@@ -27,10 +27,19 @@ from sketch_spark.sketches.base import Sketch, register
 _U64 = np.uint64
 
 
+# popcount of every byte value — one 256-entry table instead of unpacking
+# the filter to one byte PER BIT (the old unpackbits path allocated an 8×
+# transient: 1 GB for a 2^33-bit filter, per popcount call).
+_BYTE_POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1, dtype=np.int64
+)
+
+
 def _popcount(words: np.ndarray) -> int:
-    """Total set bits (numpy<2 has no bitwise_count; unpackbits on the byte
-    view is a single vectorized pass)."""
-    return int(np.unpackbits(words.view(np.uint8)).sum())
+    """Total set bits: byte histogram · per-byte popcount table — a single
+    vectorized pass with O(1) extra memory."""
+    b = words.view(np.uint8)
+    return int(np.bincount(b, minlength=256) @ _BYTE_POP)
 
 
 def optimal_nhashes(m_bits: int, n_items: int) -> int:
@@ -168,9 +177,20 @@ class BloomFilter(Sketch):
                 stacklevel=3,
             )
 
+    # Words sampled for may_contain's advisory saturation check: uniform
+    # hashing spreads set bits evenly, so a fixed-size word prefix is an
+    # unbiased fill estimate — bounding the per-batch check at 512 KB read
+    # instead of O(m) (the check is advisory; est_fpr/cardinality_estimate
+    # keep the exact full popcount since their VALUES depend on it).
+    _FILL_SAMPLE_WORDS = 1 << 16
+
+    def _sampled_fill(self) -> float:
+        w = self.words[: self._FILL_SAMPLE_WORDS]
+        return _popcount(w) / (len(w) << 6)
+
     def may_contain(self, values: np.ndarray) -> np.ndarray:
         """Boolean array: False = definitely absent (no false negatives)."""
-        self._warn_if_saturated(self.popcount() / self.m)
+        self._warn_if_saturated(self._sampled_fill())
         if len(values) == 0:
             return np.zeros(0, dtype=bool)
         idx = self._indices(values)  # (nh, n)

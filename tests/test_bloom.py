@@ -165,3 +165,31 @@ def test_saturation_warns_and_sizing_helpers():
     hll = make_sketch("hll", p=14).update(np.arange(n, dtype=np.int64))
     from_hll = bloom_mod.size_for_hll(hll, fpr)
     assert abs(from_hll["l2sz"] - params["l2sz"]) <= 1
+
+
+def test_popcount_table_path_matches_unpackbits():
+    from sketch_spark.sketches import bloom as bloom_mod
+
+    rng = np.random.default_rng(7)
+    for n_words in (1, 3, 1000):
+        words = rng.integers(0, 1 << 63, size=n_words, dtype=np.int64).astype(np.uint64)
+        exact = int(np.unpackbits(words.view(np.uint8)).sum())
+        assert bloom_mod._popcount(words) == exact
+    assert bloom_mod._popcount(np.zeros(4, dtype=np.uint64)) == 0
+    assert bloom_mod._popcount(np.full(4, ~np.uint64(0))) == 256
+
+
+def test_sampled_fill_bounded_and_accurate():
+    """may_contain's advisory saturation check reads a bounded word prefix —
+    for filters under the sample size it is exact, and for larger ones the
+    uniform-hash fill makes the prefix an accurate estimator."""
+    from sketch_spark.sketches.base import make_sketch
+
+    small = make_sketch("bloom", l2sz=10, nh=2).update(np.arange(300, dtype=np.int64))
+    assert small._sampled_fill() == small.popcount() / small.m
+
+    big = make_sketch("bloom", l2sz=23, nh=2)  # 2^17 words > sample prefix
+    big.update(np.arange(2_000_000, dtype=np.int64))
+    assert big.words.size > big._FILL_SAMPLE_WORDS
+    true_fill = big.popcount() / big.m
+    assert abs(big._sampled_fill() - true_fill) < 0.01
